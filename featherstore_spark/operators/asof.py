@@ -1,0 +1,205 @@
+"""Point-in-time as-of join (SURVEY.md §2.3 J3).
+
+The reference's only "join" is latest-per-entity at t=now
+(/root/reference/pkg/storage/duckdb/duckdb.go:617-625); this module
+generalizes it: for every spine row (conv_id, ts) find the latest feature
+row with ``feature.ts <= spine.ts`` (inclusive, SURVEY C3), breaking equal
+timestamps by caller-supplied columns DESC (deterministic, fixes C2).
+
+Three strategies, all shuffle exactly once on the entity key:
+
+- ``window`` (union-marker): union spine+features, one window pass with
+  ``last(feature_struct, ignorenulls)`` over
+  ``rowsBetween(unboundedPreceding, current)``.  Pure DataFrame — whole-
+  stage codegen, no Python.  Default; correct everywhere; its weakness is a
+  single window partition per entity (a mega-conversation = one task).
+- ``cogroup``: ``spine.cogroup(features).applyInPandas`` with
+  ``pandas.merge_asof`` per entity.  Arrow-vectorized, zero per-row Python.
+- ``bucketed``: the skew-safe scale path — both sides bucketed by fixed
+  time ranges, per-(entity, bucket) merge_asof, with each bucket's
+  boundary row carried forward via a cheap bucket-granularity union-marker
+  window so as-of stays correct across bucket edges (SURVEY §7.4).  A
+  mega-conversation splits into (time-range) many independent tasks.
+
+Leakage guarantee: every strategy only ever reads feature rows with
+``ts <= spine.ts`` — enforced structurally (window frame ends at the
+current row; merge_asof direction='backward') — tested adversarially with
+poisoned future values (tests/test_leakage.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from featherstore_spark.functions.time import epoch_us, interval_to_us as _interval_to_us
+
+DEFAULT_PREFIX = "f_"
+
+
+def _value_cols(features: DataFrame, on: str, ts: str, tiebreaks: Sequence[str]) -> list[str]:
+    skip = {on, ts}
+    return [c for c in features.columns if c not in skip]
+
+
+def _output_schema(spine: DataFrame, features: DataFrame, on: str, ts: str, prefix: str, val_cols: list[str]) -> T.StructType:
+    fields = list(spine.schema.fields)
+    ftypes = {f.name: f.dataType for f in features.schema.fields}
+    fields.append(T.StructField(prefix + ts, ftypes[ts], True))
+    for c in val_cols:
+        fields.append(T.StructField(prefix + c, ftypes[c], True))
+    return T.StructType(fields)
+
+
+def asof_join(
+    spine: DataFrame,
+    features: DataFrame,
+    on: str = "conv_id",
+    ts: str = "ts",
+    tiebreaks: Sequence[str] = (),
+    prefix: str = DEFAULT_PREFIX,
+    strategy: str = "window",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Enrich every spine row with the latest preceding feature row.
+
+    Output = spine columns + ``{prefix}{ts}`` (matched feature timestamp,
+    null when no feature precedes the spine point) + ``{prefix}{col}`` for
+    every feature value column.
+    """
+    tiebreaks = [c for c in tiebreaks if c in features.columns]
+    val_cols = _value_cols(features, on, ts, tiebreaks)
+    if strategy == "window":
+        return _asof_window(spine, features, on, ts, tiebreaks, prefix, val_cols)
+    if strategy == "cogroup":
+        return _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=None)
+    if strategy == "bucketed":
+        return _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=bucket)
+    raise ValueError(f"unknown as-of strategy {strategy!r}")
+
+
+# ---------------------------------------------------------------- window --
+
+def _asof_window(spine, features, on, ts, tiebreaks, prefix, val_cols):
+    # Feature payload rides in one struct so last(..., ignorenulls) picks a
+    # whole ROW atomically — a null VALUE inside a later feature row must
+    # still shadow earlier rows.
+    feat_struct = F.struct(F.col(ts).alias(ts), *[F.col(c).alias(c) for c in val_cols])
+    spine_cols = spine.columns
+    spine_extra = [c for c in spine_cols if c not in (on, ts)]
+
+    f_side = features.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("__is_spine"),
+        *[F.col(c).alias(f"__tb_{c}") for c in tiebreaks],
+        feat_struct.alias("__feat"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c) for c in spine_extra],
+    )
+    s_side = spine.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("__is_spine"),
+        *[F.lit(None).cast(features.schema[c].dataType).alias(f"__tb_{c}") for c in tiebreaks],
+        F.lit(None).cast(f_side.schema["__feat"].dataType).alias("__feat"),
+        *spine_extra,
+    )
+    unioned = f_side.unionByName(s_side)
+
+    # Ordering: (ts, is_spine, tiebreaks): at equal ts all feature rows sort
+    # BEFORE the spine row (inclusive as-of), and among equal-ts features
+    # the max-tiebreak row is last — exactly the row last() returns.
+    order = [F.col(ts).asc(), F.col("__is_spine").asc()] + [F.col(f"__tb_{c}").asc_nulls_first() for c in tiebreaks]
+    w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    matched = unioned.withColumn("__m", F.last("__feat", ignorenulls=True).over(w)).where(F.col("__is_spine") == 1)
+
+    return matched.select(
+        *spine_cols,
+        F.col(f"__m.{ts}").alias(prefix + ts),
+        *[F.col(f"__m.{c}").alias(prefix + c) for c in val_cols],
+    )
+
+
+# ----------------------------------------------------- cogroup / bucketed --
+
+def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket):
+    out_schema = _output_schema(spine, features, on, ts, prefix, val_cols)
+    spine_cols = spine.columns
+    out_cols = [f.name for f in out_schema.fields]
+    f_cols = [prefix + ts] + [prefix + c for c in val_cols]
+    sort_right = [ts] + list(tiebreaks)
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left[spine_cols]
+        if len(left) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        if len(right) == 0:
+            out = left.copy()
+            for c in f_cols:
+                out[c] = None
+            return out[out_cols]
+        # na_position='first' mirrors asc_nulls_first in the window
+        # strategy: a null tiebreak never beats a real one at equal ts.
+        right = right.sort_values(sort_right, kind="mergesort", na_position="first")
+        payload = right[[ts] + val_cols].rename(columns={c: prefix + c for c in [ts] + val_cols})
+        payload[ts] = right[ts].to_numpy()
+        order = left[ts].to_numpy().argsort(kind="stable")
+        merged = pd.merge_asof(
+            left.iloc[order], payload, on=ts, direction="backward", allow_exact_matches=True
+        )
+        return merged[out_cols]
+
+    if bucket is None:
+        grouped = spine.groupBy(on).cogroup(features.groupBy(on))
+        return grouped.applyInPandas(merge, schema=out_schema)
+
+    width_us = _interval_to_us(bucket)
+    b_of = lambda c: F.floor(epoch_us(c) / F.lit(width_us))  # noqa: E731
+
+    fb = features.withColumn("__b", b_of(ts))
+    sb = spine.withColumn("__b", b_of(ts))
+
+    # Boundary carry (bucket-granularity union-marker): for every spine
+    # bucket, the single latest feature row from any STRICTLY earlier
+    # bucket.  Rows here are one-per-(entity,bucket) — tiny — so the window
+    # over `on` cannot skew even when raw data does.
+    last_order = [F.col(ts).desc()] + [F.col(c).desc() for c in tiebreaks]
+    wlast = Window.partitionBy(on, "__b").orderBy(*last_order)
+    feat_struct = F.struct(F.col(ts).alias(ts), *[F.col(c).alias(c) for c in val_cols])
+    boundary = (
+        fb.withColumn("__rn", F.row_number().over(wlast))
+        .where(F.col("__rn") == 1)
+        .select(on, "__b", F.lit(1).alias("__is_boundary"), feat_struct.alias("__feat"))
+    )
+    probes = sb.select(on, "__b").distinct().select(
+        on, "__b", F.lit(0).alias("__is_boundary"),
+        F.lit(None).cast(boundary.schema["__feat"].dataType).alias("__feat"),
+    )
+    wcarry = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__b").asc(), F.col("__is_boundary").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        boundary.unionByName(probes)
+        .withColumn("__c", F.last("__feat", ignorenulls=True).over(wcarry))
+        .where((F.col("__is_boundary") == 0) & F.col("__c").isNotNull())
+        .select(
+            F.col(on),
+            F.col("__b"),
+            F.col(f"__c.{ts}").alias(ts),
+            *[F.col(f"__c.{c}").alias(c) for c in val_cols],
+            *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in tiebreaks if c not in val_cols],
+        )
+    )
+    # carried rows join the in-bucket features; tiebreak nulls sort first so
+    # a real in-bucket row at the same ts still wins.
+    fb_aug = fb.select(on, "__b", ts, *val_cols, *[c for c in tiebreaks if c not in val_cols]) \
+        .unionByName(carried.select(on, "__b", ts, *val_cols, *[c for c in tiebreaks if c not in val_cols]))
+
+    grouped = sb.groupBy(on, "__b").cogroup(fb_aug.groupBy(on, "__b"))
+    return grouped.applyInPandas(merge, schema=out_schema)

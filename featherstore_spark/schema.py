@@ -1,0 +1,93 @@
+"""Schemas + validation for the transcript feature engine.
+
+The reference declares schemas up front and validates at ingest
+(/root/reference/pkg/storage/duckdb/duckdb.go:122-179,
+/root/reference/pkg/storage/parquet/parquet.go:92-160): ``entity_id`` is
+mandatory (duckdb.go:133-144), ``timestamp`` optional-but-special
+(duckdb.go:946-963), everything else is a feature column. Missing
+timestamps get wall-clock "now" substituted (pkg/core/model.go:137-145) —
+nondeterministic, so this engine REJECTS null ``ts`` instead (SURVEY C6).
+
+Our spine key is ``(conv_id, ts)`` with a ``turn_idx`` tie-break the
+reference lacks (SURVEY C2: the reference's latest-per-entity has no
+deterministic order for equal timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Authoritative input shape (BASELINE.json input_hint).
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), nullable=False),
+        T.StructField("turn_idx", T.IntegerType(), nullable=False),
+        T.StructField("role", T.StringType(), nullable=False),
+        T.StructField("text", T.StringType(), nullable=True),
+        T.StructField("tool", T.StringType(), nullable=True),
+        T.StructField("ts", T.TimestampType(), nullable=False),
+    ]
+)
+
+# As-of join left side: entity spine points (FIXTURES.md §2).
+SPINE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), nullable=False),
+        T.StructField("ts", T.TimestampType(), nullable=False),
+    ]
+)
+
+# Generic feature-log shape: the reference's FeatureVector is
+# {entity_id, values map, timestamp} (pkg/core/model.go:25-32); in Spark a
+# feature log is any DataFrame with (entity, ts, feature columns...).
+RESERVED_COLUMNS = ("conv_id", "ts")
+
+
+class SchemaValidationError(ValueError):
+    """Raised when an input DataFrame violates the declared contract."""
+
+
+def validate_transcripts(df: DataFrame) -> DataFrame:
+    """Fail fast on schema mismatch, mirroring the reference's ingest-time
+    checks (parquet.go:897-918: entity/timestamp name+type equality, no
+    coercion).  Returns the input (column-ordered) for chaining.
+    """
+    declared = {f.name: f.dataType for f in TRANSCRIPT_SCHEMA.fields}
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in declared if c not in actual]
+    if missing:
+        raise SchemaValidationError(f"transcripts missing required columns: {missing}")
+    for name, dtype in declared.items():
+        if actual[name] != dtype:
+            raise SchemaValidationError(
+                f"transcripts column {name!r}: expected {dtype.simpleString()}, "
+                f"got {actual[name].simpleString()} (no implicit coercion, "
+                "matching reference parquet.go:921-925)"
+            )
+    return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
+
+
+def validate_feature_log(df: DataFrame, entity_col: str = "conv_id", ts_col: str = "ts") -> DataFrame:
+    """A feature log needs a string-ish entity column and a timestamp column
+    (reference: entity_id mandatory duckdb.go:133-144; timestamp indexed
+    duckdb.go:946-963). Null timestamps are rejected at materialize time
+    (C6) rather than defaulted to now().
+    """
+    cols = {f.name: f.dataType for f in df.schema.fields}
+    if entity_col not in cols:
+        raise SchemaValidationError(f"feature log missing entity column {entity_col!r}")
+    if ts_col not in cols:
+        raise SchemaValidationError(f"feature log missing timestamp column {ts_col!r}")
+    if not isinstance(cols[ts_col], T.TimestampType):
+        raise SchemaValidationError(
+            f"feature log {ts_col!r} must be timestamp, got {cols[ts_col].simpleString()}"
+        )
+    return df
+
+
+def feature_columns(df: DataFrame, entity_col: str = "conv_id", ts_col: str = "ts") -> list[str]:
+    """Everything that is not a reserved column is a feature
+    (reference duckdb.go:229-243 excludes entity_id/timestamp from Feature
+    metadata the same way)."""
+    return [c for c in df.columns if c not in (entity_col, ts_col)]

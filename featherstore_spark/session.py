@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs a hand-rolled connection pool over DuckDB
+(/root/reference/pkg/storage/duckdb/duckdb.go:70-119); in Spark the
+equivalent knobs are shuffle parallelism, AQE, and Arrow transfer. These
+defaults are what we would ship for a 1000-executor cluster — AQE coalesces
+the oversized static shuffle-partition count at runtime, skew-join splitting
+handles hot keys, and Arrow batches bound pandas-UDF memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: runtime re-planning — partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every JVM<->Python exchange (pandas UDF, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast small dimension tables aggressively (catalog/spine side).
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Partitioned writes: overwrite only the partitions present in the job
+    # output — the checkpoint/resume layer depends on this.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Deterministic session timezone: all event time is UTC.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "featherstore_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster it is left unset so spark-submit controls it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Match local core count; on a cluster this should be
+        # ~2-3x total executor cores (AQE coalesces the excess).
+        try:
+            shuffle_partitions = int(master.split("[")[1].rstrip("]*")) if "[" in master else 200
+        except ValueError:
+            shuffle_partitions = 200
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
