@@ -1,0 +1,133 @@
+"""Per-partition checkpoint + lineage so a killed run resumes without
+recomputation (north rule; no reference counterpart — the reference re-runs
+a killed ingest from scratch, its only idempotence being timestamp-named
+files, /root/reference/pkg/storage/parquet/parquet.go:86-89).
+
+Design:
+- Output is hash-bucketed by entity (``p_bucket``); the manifest
+  (``_manifest.json`` next to the data) records per-bucket status,
+  row_count, a 64-bit content hash (xor of per-row xxhash64 — order
+  independent), and lineage (input fingerprint + pipeline params).
+- A resumed run recomputes ONLY buckets not marked done: the pipeline
+  filters its input to pending buckets *before* any heavy work (the bucket
+  is a pure function of conv_id, so filtering pushes to the scan), then
+  dynamic-partition-overwrite writes exactly those buckets — completed
+  partitions are never touched or recomputed.
+- One driver-side JSON per run; everything per-row stays distributed.
+- If the lineage fingerprint changes (different input or params), the
+  manifest is discarded and the run starts clean — resume must never serve
+  stale features.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def bucket_col(entity_col: str = "conv_id", n_buckets: int = 64):
+    return F.pmod(F.xxhash64(F.col(entity_col)), F.lit(n_buckets)).cast("int")
+
+
+def content_stats(df: DataFrame, bucket: str = "p_bucket") -> dict[int, dict]:
+    """Per-bucket row_count + order-independent xor of row hashes.
+    The row hash covers every column (cast to string for stability)."""
+    cols = [c for c in df.columns if c != bucket]
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    # xor aggregate via bit_xor
+    agg = df.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.bit_xor(row_hash).alias("content_hash"),
+    )
+    return {
+        int(r[bucket]): {"row_count": int(r["row_count"]), "content_hash": int(r["content_hash"])}
+        for r in agg.collect()
+    }
+
+
+class CheckpointManifest:
+    def __init__(self, output_path: str, lineage: dict):
+        self.path = os.path.join(output_path, MANIFEST)
+        self.lineage = lineage
+        self.state: dict = {"lineage": lineage, "buckets": {}}
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                prior = json.load(fh)
+            if prior.get("lineage") == lineage:
+                self.state = prior
+            # else: lineage changed → start clean (stale manifest ignored)
+
+    def done_buckets(self) -> set[int]:
+        return {int(b) for b, m in self.state["buckets"].items() if m.get("status") == "done"}
+
+    def mark_done(self, stats: dict[int, dict]) -> None:
+        for b, s in stats.items():
+            self.state["buckets"][str(b)] = {
+                "status": "done",
+                "row_count": s["row_count"],
+                "content_hash": s["content_hash"],
+                "completed_at": time.time(),
+            }
+        self._flush()
+
+    def metrics(self) -> dict:
+        done = self.state["buckets"]
+        return {
+            "n_buckets_done": len(done),
+            "total_rows": sum(m["row_count"] for m in done.values()),
+        }
+
+    def _flush(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.state, fh, indent=2)
+        os.replace(tmp, self.path)
+
+
+def run_with_checkpoint(
+    transcripts: DataFrame,
+    output_path: str,
+    lineage: dict,
+    n_buckets: int = 16,
+    entity_col: str = "conv_id",
+    pipeline=None,
+) -> dict:
+    """Materialize ``pipeline(transcripts)`` to ``output_path`` partitioned
+    by entity bucket, skipping buckets the manifest already marks done.
+
+    ``pipeline`` defaults to the full feature-log build.  Returns manifest
+    metrics.  Killing this anywhere and re-calling resumes: finished
+    buckets are filtered out of the INPUT (scan-level prune) and dynamic
+    partition overwrite replaces only freshly computed buckets.
+    """
+    from featherstore_spark.plans.materialize import build_feature_log
+
+    pipeline = pipeline or build_feature_log
+    manifest = CheckpointManifest(output_path, lineage)
+    done = manifest.done_buckets()
+
+    b = bucket_col(entity_col, n_buckets)
+    pending_input = transcripts.withColumn("p_bucket", b)
+    if done:
+        pending_input = pending_input.where(~F.col("p_bucket").isin(sorted(done)))
+
+    if pending_input.isEmpty():
+        return manifest.metrics()
+
+    out = pipeline(pending_input.drop("p_bucket")).withColumn("p_bucket", b)
+    out = out.sortWithinPartitions(entity_col, "turn_idx") if "turn_idx" in out.columns else out
+    out.write.mode("overwrite").partitionBy("p_bucket").parquet(output_path)
+
+    written = out.sparkSession.read.parquet(output_path).where(
+        ~F.col("p_bucket").isin(sorted(done)) if done else F.lit(True)
+    )
+    stats = content_stats(written)
+    manifest.mark_done(stats)
+    return manifest.metrics()

@@ -1,0 +1,180 @@
+"""Feature-set catalog: the reference's FeatureStore DDL surface
+(SURVEY.md §2.11 D1-D5) re-expressed over partitioned parquet datasets.
+
+Reference parity:
+- CreateFeatureSet → dataset dir + ``metadata.json`` holding the schema
+  (reference persists base64 Arrow IPC, parquet.go:928-952; we persist
+  ``StructType.json()`` — same role, introspectable either way)
+- GetFeatureSet / ListFeatureSets / DeleteFeatureSet →
+  parquet.go:163-243,246-264
+- IngestBatch → schema-compat check then append
+  (parquet.go:267-336,897-918); compatibility is exact-type, no coercion
+  (parquet.go:921-925)
+- entity column mandatory (duckdb.go:133-144); the (entity_id, timestamp
+  DESC) index (duckdb.go:946-963) maps to bucket+day partitioning.
+
+The catalog root is any directory (local, HDFS, S3A — whatever the Spark
+filesystem reaches); one subdir per feature set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from featherstore_spark.schema import SchemaValidationError
+from featherstore_spark.sources.io import (
+    DEFAULT_N_BUCKETS,
+    with_partition_columns,
+)
+
+_META = "metadata.json"
+_PARTITION_COLS = ("p_bucket", "p_date")
+
+
+@dataclass
+class FeatureSet:
+    name: str
+    schema: T.StructType
+    entity_col: str
+    ts_col: str
+    description: str = ""
+    tags: dict[str, str] = field(default_factory=dict)
+    n_buckets: int = DEFAULT_N_BUCKETS
+    created_at: float = 0.0
+    updated_at: float = 0.0
+
+
+class FeatureCatalog:
+    """CreateFeatureSet / Get / List / Delete / IngestBatch / read."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- D1 --------------------------------------------------------------
+    def create_feature_set(
+        self,
+        name: str,
+        schema: T.StructType,
+        entity_col: str = "conv_id",
+        ts_col: str = "ts",
+        description: str = "",
+        tags: dict[str, str] | None = None,
+        n_buckets: int = DEFAULT_N_BUCKETS,
+    ) -> FeatureSet:
+        names = [f.name for f in schema.fields]
+        if entity_col not in names:
+            # mandatory entity column, as reference duckdb.go:133-144
+            raise SchemaValidationError(f"schema must include entity column {entity_col!r}")
+        if ts_col not in names:
+            raise SchemaValidationError(f"schema must include timestamp column {ts_col!r}")
+        path = self._path(name)
+        if os.path.exists(os.path.join(path, _META)):
+            raise ValueError(f"feature set {name!r} already exists")
+        os.makedirs(path, exist_ok=True)
+        now = time.time()
+        fs = FeatureSet(name, schema, entity_col, ts_col, description, tags or {}, n_buckets, now, now)
+        self._write_meta(fs)
+        return fs
+
+    # -- D2 --------------------------------------------------------------
+    def get_feature_set(self, name: str) -> FeatureSet:
+        meta_path = os.path.join(self._path(name), _META)
+        if not os.path.exists(meta_path):
+            raise KeyError(f"feature set {name!r} not found")
+        with open(meta_path) as fh:
+            m = json.load(fh)
+        return FeatureSet(
+            name=m["name"],
+            schema=T.StructType.fromJson(m["schema"]),
+            entity_col=m["entity_col"],
+            ts_col=m["ts_col"],
+            description=m.get("description", ""),
+            tags=m.get("tags", {}),
+            n_buckets=m.get("n_buckets", DEFAULT_N_BUCKETS),
+            created_at=m.get("created_at", 0.0),
+            updated_at=m.get("updated_at", 0.0),
+        )
+
+    # -- D3 --------------------------------------------------------------
+    def list_feature_sets(self) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(self.root)):
+            if os.path.exists(os.path.join(self.root, entry, _META)):
+                out.append(entry)
+        return out
+
+    # -- D4 --------------------------------------------------------------
+    def delete_feature_set(self, name: str) -> None:
+        path = self._path(name)
+        if not os.path.exists(os.path.join(path, _META)):
+            raise KeyError(f"feature set {name!r} not found")
+        shutil.rmtree(path)
+
+    # -- S5/S6 ingest ------------------------------------------------------
+    def ingest_batch(self, name: str, df: DataFrame) -> int:
+        """Validate batch schema (exact types, no coercion — reference
+        parquet.go:921-925) and append, partitioned by (bucket, day).
+        Null timestamps are rejected, NOT defaulted to now() (C6)."""
+        fs = self.get_feature_set(name)
+        declared = {f.name: f.dataType for f in fs.schema.fields}
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        if set(declared) != set(actual):
+            raise SchemaValidationError(
+                f"batch columns {sorted(actual)} != declared {sorted(declared)}"
+            )
+        for c, dt in declared.items():
+            if actual[c] != dt:
+                raise SchemaValidationError(
+                    f"column {c!r}: batch type {actual[c].simpleString()} != "
+                    f"declared {dt.simpleString()}"
+                )
+        n_null_ts = df.where(df[fs.ts_col].isNull()).count()
+        if n_null_ts:
+            raise SchemaValidationError(
+                f"{n_null_ts} rows have null {fs.ts_col!r}; the engine rejects "
+                "them rather than substituting wall-clock now (determinism, C6)"
+            )
+        out = with_partition_columns(df, fs.entity_col, fs.ts_col, fs.n_buckets)
+        out.write.mode("append").partitionBy(*_PARTITION_COLS).parquet(self._data_path(name))
+        n = df.count()
+        fs.updated_at = time.time()
+        self._write_meta(fs)
+        return n
+
+    def read(self, name: str) -> DataFrame:
+        fs = self.get_feature_set(name)
+        cols = [f.name for f in fs.schema.fields]
+        return self.spark.read.parquet(self._data_path(name)).select(*cols)
+
+    # ---------------------------------------------------------------------
+    def _path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid feature set name {name!r}")
+        return os.path.join(self.root, name)
+
+    def _data_path(self, name: str) -> str:
+        return os.path.join(self._path(name), "data")
+
+    def _write_meta(self, fs: FeatureSet) -> None:
+        meta = {
+            "name": fs.name,
+            "schema": fs.schema.jsonValue(),
+            "entity_col": fs.entity_col,
+            "ts_col": fs.ts_col,
+            "description": fs.description,
+            "tags": fs.tags,
+            "n_buckets": fs.n_buckets,
+            "created_at": fs.created_at,
+            "updated_at": fs.updated_at,
+        }
+        with open(os.path.join(self._path(fs.name), _META), "w") as fh:
+            json.dump(meta, fh, indent=2)

@@ -1,0 +1,73 @@
+"""Table IO with explicit partition design (SURVEY.md §2.1 S1-S6, §4).
+
+The reference writes one parquet file per ingested batch, named by
+ingestion wall-clock time, and prunes files by that name at read time
+(/root/reference/pkg/storage/parquet/parquet.go:86-89,485-499) — which is
+wrong for late-arriving data (SURVEY C4).  This engine partitions by
+EVENT time (`p_date=days(ts)`) plus a hash bucket of the entity key, so:
+
+- history/backfill scans prune partitions on the event-time predicate
+  (static + dynamic partition pruning, free from Catalyst),
+- entity-keyed shuffles land on a bounded number of buckets regardless of
+  how skewed conversation sizes are,
+- per-partition checkpoint/resume (plans/checkpoint.py) has a stable,
+  deterministic partition identity to key its manifest on.
+
+Iceberg would be the preferred format (`PARTITIONED BY (bucket(N,
+conv_id), days(ts))`); the sandbox has no Iceberg jar, so `table_format()`
+feature-detects and falls back to Hive-partitioned parquet with the
+identical partition spec — same semantics, same pruning, same tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_N_BUCKETS = 64
+
+
+def table_format(spark: SparkSession) -> str:
+    """'iceberg' when the runtime has the Iceberg SQL extensions, else
+    'parquet' (reference backend factory analogue, factory.go:25-36)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+        return "iceberg"
+    except Exception:
+        return "parquet"
+
+
+def with_partition_columns(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Adds ``p_bucket`` (hash bucket of entity) and ``p_date`` (event-time
+    day) — the Iceberg `(bucket(N, conv_id), days(ts))` spec expressed as
+    plain columns for the parquet fallback."""
+    return df.withColumn(
+        "p_bucket", F.pmod(F.xxhash64(F.col(entity_col)), F.lit(n_buckets)).cast("int")
+    ).withColumn("p_date", F.to_date(F.col(ts_col)))
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("p_bucket",),
+    mode: str = "overwrite",
+) -> None:
+    """Dynamic-partition-overwrite write: only the partitions present in
+    ``df`` are replaced (exactly-once resume semantics; the Iceberg
+    equivalent is ``overwritePartitions``)."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One of the driver-provided tables (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,75 @@
+"""Catalog DDL + ingest parity with the reference FeatureStore interface
+(create/get/list/delete/ingest round-trip, mirroring the reference's own
+e2e test at /root/reference/pkg/storage/parquet/parquet_test.go:21-222)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featherstore_spark.schema import TRANSCRIPT_SCHEMA, SchemaValidationError
+from featherstore_spark.sources.catalog import FeatureCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return FeatureCatalog(spark, str(tmp_path / "store"))
+
+
+def test_create_get_list_delete(catalog):
+    fs = catalog.create_feature_set("conv_turns", TRANSCRIPT_SCHEMA, description="turns")
+    assert fs.name == "conv_turns"
+    got = catalog.get_feature_set("conv_turns")
+    assert got.schema == TRANSCRIPT_SCHEMA
+    assert got.entity_col == "conv_id" and got.ts_col == "ts"
+    assert catalog.list_feature_sets() == ["conv_turns"]
+    catalog.delete_feature_set("conv_turns")
+    assert catalog.list_feature_sets() == []
+    with pytest.raises(KeyError):
+        catalog.get_feature_set("conv_turns")
+
+
+def test_create_requires_entity_column(catalog, spark):
+    from pyspark.sql import types as T
+
+    bad = T.StructType([T.StructField("x", T.StringType()), T.StructField("ts", T.TimestampType())])
+    with pytest.raises(SchemaValidationError):
+        catalog.create_feature_set("bad", bad)
+
+
+def test_ingest_roundtrip(catalog, transcripts):
+    catalog.create_feature_set("conv_turns", TRANSCRIPT_SCHEMA)
+    n = catalog.ingest_batch("conv_turns", transcripts)
+    assert n == transcripts.count()
+    back = catalog.read("conv_turns")
+    assert back.count() == n
+    assert set(back.columns) == {f.name for f in TRANSCRIPT_SCHEMA.fields}
+    # byte-equality of text under stable ordering after the round-trip
+    a = transcripts.orderBy("conv_id", "turn_idx").select("text").toPandas()
+    b = back.orderBy("conv_id", "turn_idx").select("text").toPandas()
+    assert (a["text"] == b["text"]).all()
+
+
+def test_ingest_rejects_wrong_schema(catalog, transcripts):
+    catalog.create_feature_set("conv_turns", TRANSCRIPT_SCHEMA)
+    with pytest.raises(SchemaValidationError):
+        catalog.ingest_batch("conv_turns", transcripts.drop("role"))
+    with pytest.raises(SchemaValidationError):
+        catalog.ingest_batch(
+            "conv_turns", transcripts.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        )
+
+
+def test_ingest_rejects_null_ts(catalog, transcripts):
+    catalog.create_feature_set("conv_turns", TRANSCRIPT_SCHEMA)
+    poisoned = transcripts.withColumn(
+        "ts", F.when(F.col("turn_idx") == 0, F.lit(None)).otherwise(F.col("ts"))
+    )
+    with pytest.raises(SchemaValidationError, match="null"):
+        catalog.ingest_batch("conv_turns", poisoned)
+
+
+def test_duplicate_create_rejected(catalog):
+    catalog.create_feature_set("a", TRANSCRIPT_SCHEMA)
+    with pytest.raises(ValueError):
+        catalog.create_feature_set("a", TRANSCRIPT_SCHEMA)

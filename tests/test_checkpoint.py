@@ -1,0 +1,84 @@
+"""Backfill idempotence + kill-resume (SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from featherstore_spark.plans.checkpoint import (
+    MANIFEST,
+    CheckpointManifest,
+    run_with_checkpoint,
+)
+
+LINEAGE = {"input": "unit-corpus-seed42", "params": {"gap": "30 minutes"}}
+
+
+def _read_manifest(path):
+    with open(os.path.join(path, MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def test_run_twice_is_idempotent(spark, transcripts, tmp_path):
+    out = str(tmp_path / "feat")
+    m1 = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    first = spark.read.parquet(out).orderBy("conv_id", "turn_idx").toPandas()
+    manifest1 = _read_manifest(out)
+
+    m2 = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    second = spark.read.parquet(out).orderBy("conv_id", "turn_idx").toPandas()
+    manifest2 = _read_manifest(out)
+
+    assert m1["total_rows"] == m2["total_rows"] == transcripts.count()
+    assert (first["text"] == second["text"]).all()
+    # second run recomputed nothing: completion timestamps unchanged
+    t1 = {b: v["completed_at"] for b, v in manifest1["buckets"].items()}
+    t2 = {b: v["completed_at"] for b, v in manifest2["buckets"].items()}
+    assert t1 == t2
+
+
+def test_resume_after_partial_run(spark, transcripts, tmp_path):
+    out = str(tmp_path / "feat")
+    full = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    expected = spark.read.parquet(out).orderBy("conv_id", "turn_idx").toPandas()
+    complete_manifest = _read_manifest(out)
+
+    # simulate a kill: drop half the buckets from the manifest (as if the
+    # run died before marking them done)
+    crashed = dict(complete_manifest)
+    kept = dict(list(complete_manifest["buckets"].items())[:4])
+    crashed["buckets"] = kept
+    with open(os.path.join(out, MANIFEST), "w") as fh:
+        json.dump(crashed, fh)
+
+    m = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    resumed = spark.read.parquet(out).orderBy("conv_id", "turn_idx").toPandas()
+    final_manifest = _read_manifest(out)
+
+    assert m["total_rows"] == full["total_rows"]
+    assert (resumed["text"] == expected["text"]).all()
+    assert (resumed["session_id"] == expected["session_id"]).all()
+    # the 4 surviving buckets were NOT recomputed (same completion stamps)
+    for b, v in kept.items():
+        assert final_manifest["buckets"][b]["completed_at"] == v["completed_at"]
+    # content hashes of recomputed buckets match the original run (determinism)
+    for b, v in complete_manifest["buckets"].items():
+        assert final_manifest["buckets"][b]["content_hash"] == v["content_hash"]
+
+
+def test_lineage_change_discards_manifest(spark, transcripts, tmp_path):
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    m = CheckpointManifest(out, {"input": "DIFFERENT", "params": {}})
+    assert m.done_buckets() == set()
+
+
+def test_bucket_assignment_covers_all_rows(spark, transcripts, tmp_path):
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    back = spark.read.parquet(out)
+    assert back.count() == transcripts.count()
+    assert back.select("p_bucket").distinct().count() <= 8
+    assert back.where(F.col("p_bucket").isNull()).count() == 0
