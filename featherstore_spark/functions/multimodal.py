@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (SURVEY-adjacent: the reference supports Arrow Binary
+columns end-to-end, /root/reference/pkg/storage/duckdb/duckdb.go:329-330,
+/root/reference/pkg/core/model.go:251-252 — this module gives them a
+processing path).
+
+The Spark-side plumbing is REAL and tested: schema, Arrow batch shape,
+``mapInPandas`` iteration, partition sizing.  The actual codec work is
+STUBBED — this container has no image/audio libraries — behind
+``decoder='fake'`` (deterministic hash-derived metadata, good for pipeline
+tests) or ``decoder='pil'`` (raises ``NotImplementedError`` unless PIL is
+importable; the UDF signature and batch contract are exactly what a real
+decoder plugs into).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("source_uri", T.StringType(), True),
+    ]
+)
+
+DECODED_FIELDS = [
+    T.StructField("byte_len", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("mean_byte", T.DoubleType(), True),
+    T.StructField("payload_md5", T.StringType(), True),
+]
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table from any text corpus: the utf-8 bytes
+    of the text become the payload.  Lets every multimodal test run on the
+    driver-provided `documents` table with stable content."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.concat(F.lit("synthetic://doc/"), F.col(id_col)).alias("source_uri"),
+    )
+
+
+def decode_media(df: DataFrame, decoder: str = "fake", batch_rows: int = 256) -> DataFrame:
+    """Decode/feature-extract binary payloads via ``mapInPandas``.
+
+    - byte_len / mean_byte / payload_md5 are REAL (computed from payload).
+    - width/height/channels come from the decoder: 'fake' derives them
+      deterministically from the payload hash (pipeline-testable stand-in);
+      'pil' is the real-decoder slot and raises NotImplementedError here.
+
+    ``batch_rows`` caps the Arrow batch so payload bytes never exceed
+    executor memory (the multimodal analogue of the applyInPandas group-
+    size budget, SURVEY §7.4).
+    """
+    out_schema = T.StructType(
+        [f for f in MEDIA_SCHEMA.fields if f.name != "payload"] + DECODED_FIELDS
+    )
+
+    if decoder == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - no PIL in container
+            raise NotImplementedError(
+                "real image decode requires PIL, which this environment "
+                "does not ship; use decoder='fake' for pipeline tests"
+            ) from exc
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                payloads = chunk["payload"]
+                byte_len = payloads.map(lambda b: len(b) if b is not None else 0)
+                mean_byte = payloads.map(
+                    lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if b else None
+                )
+                md5 = payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                )
+                if decoder == "fake":
+                    h = payloads.map(
+                        lambda b: int.from_bytes(hashlib.md5(b or b"").digest()[:8], "big")
+                    )
+                    width = (h % 1920 + 1).astype("int32")
+                    height = (h // 1920 % 1080 + 1).astype("int32")
+                    channels = (h % 3 + 1).astype("int32")
+                else:  # pragma: no cover - real decoder slot
+                    width = height = channels = pd.Series([None] * len(chunk))
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "mime": chunk["mime"],
+                        "source_uri": chunk["source_uri"],
+                        "byte_len": byte_len.astype("int64"),
+                        "width": width,
+                        "height": height,
+                        "channels": channels,
+                        "mean_byte": mean_byte,
+                        "payload_md5": md5,
+                    }
+                )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    derived from fake per-media frame counts.  The explode shape (media →
+    frames) is the real distributed pattern; the decode is the stub."""
+    frames = F.sequence(
+        F.lit(0),
+        F.pmod(F.xxhash64("media_id"), F.lit(300)).cast("int"),
+        F.lit(every_n),
+    )
+    return df.select("media_id", F.explode(frames).alias("frame_idx"))

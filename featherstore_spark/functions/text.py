@@ -1,0 +1,130 @@
+"""Text-analysis functions for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+
+No reference counterpart (featherstore stores opaque feature values); these
+are the operations a 100 TB text-corpus pipeline needs on top of the
+feature engine.  Everything here is built-in column functions — JVM-side,
+whole-stage-codegen, no Python — and each has an exact ANSI-SQL oracle
+(__spark_entry__.oracle_sql) so the driver can verify values, not just
+shapes.
+
+Determinism notes: token rules are ASCII-explicit (no locale-dependent
+classes) so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whole-token split: runs of whitespace.
+_WS = r"\s+"
+# BPE-ish lexer: word pieces or single non-space punctuation.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+# Explicit ASCII punctuation class (identical semantics in Java + RE2).
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "por"],
+}
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text; empty text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col)).cast("long")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish lexical token count (word pieces + punctuation singles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(PUNCT_RE)).cast("long")
+
+
+def stopword_count(col: Column | str, words: list[str] | None = None) -> Column:
+    """Count of whitespace tokens (lowercased) that are stopwords."""
+    words = words if words is not None else ALL_STOPWORDS
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(ws_tokens(col), lambda t: F.array_contains(wordset, F.lower(t)))
+    ).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row text statistics + a composite quality score in [0, 1].
+
+    quality = 0.3*len_ok + 0.3*(1 - punct_ratio) + 0.2*stopword_presence
+            + 0.2*avg_token_len_ok — a deterministic heuristic in the
+    spirit of C4/Gopher quality filters (length, symbol ratio, stopwords).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(F.coalesce(c, F.lit(""))).cast("long")
+    n_tok = token_count(c)
+    n_punct = punct_count(c)
+    n_stop = stopword_count(c)
+    avg_tok_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), 1.0).otherwise(0.0)
+    tok_ok = F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 12.0), 1.0).otherwise(0.0)
+    quality = F.round(
+        0.3 * len_ok + 0.3 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + 0.2 * F.least(stop_ratio * 10.0, F.lit(1.0)) + 0.2 * tok_ok,
+        6,
+    )
+    return (
+        df.withColumn("n_chars_computed", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_bpe_tokens", bpe_token_count(c))
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("avg_token_len", F.round(avg_tok_len, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", quality)
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (whole lowercased tokens)."""
+    return {lang: stopword_count(col, words) for lang, words in STOPWORDS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by stopword hits; 'und' when all scores are zero.
+    Ties break by fixed language order (en, de, fr, es) — deterministic."""
+    scores = lang_scores(col)
+    order = ["en", "de", "fr", "es"]
+    best = F.greatest(*[scores[lang] for lang in order])
+    # built reversed so the FIRST language in `order` is the outermost
+    # when() — earlier languages win ties deterministically.
+    result = F.lit("und")
+    for lang in reversed(order):
+        result = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text.
+    (md5 exists in both Spark and DuckDB → value-level oracle checks;
+    xxhash64 would be Spark-only.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.regexp_replace(F.trim(F.coalesce(c, F.lit(""))), _WS, " "))
+    return F.md5(normalized)

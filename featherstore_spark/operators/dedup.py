@@ -1,0 +1,300 @@
+"""Deduplication operators for training-data pipelines.
+
+No reference counterpart (featherstore's nearest concept is the
+first-seen-wins entity map, /root/reference/pkg/storage/parquet/
+parquet.go:642-676, which is a precedence dedup — see operators/latest.py).
+These are the corpus-dedup primitives a 100 TB text pipeline needs:
+
+- exact: hash-groupBy on a normalized fingerprint.  Grouping by a 16-byte
+  hash instead of the raw text keeps shuffle rows small (the text column
+  never shuffles).
+- minhash_signatures + lsh_candidate_pairs: shingle → k minhashes → b
+  bands → bucket-join.  Candidates only pair within identical band
+  buckets, so the join is an equi-join on (band_idx, band_hash) — no
+  all-pairs blowup; AQE skew-split handles hot buckets (boilerplate text).
+- jaccard_pairs: exact token-set Jaccard for candidate verification (or,
+  at small scale / with blocking, as a standalone exact near-dup pass).
+- simhash: 64-bit similarity fingerprint via a vectorized pandas UDF
+  (numpy bit-twiddling; per-bit column expressions would be 64x codegen
+  bloat for no gain).
+- embedding_near_dups: cosine-similarity near-dup pairs over an embedding
+  column, blocked by a caller-supplied key to bound the pair space.
+
+All randomness is hash-derived (xxhash64 with fixed seeds) — rerunning on
+the same corpus yields byte-identical signatures on any cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from featherstore_spark.functions.text import fingerprint, ws_tokens
+
+
+# ----------------------------------------------------------------- exact --
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: the kept (minimum) id, the
+    duplicate count, and the fingerprint.  Hash-groupBy: the shuffle key is
+    the md5 fingerprint, never the document body."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of every duplicate class."""
+    keep = exact_duplicates(df, id_col, text_col).select(F.col("kept_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------- jaccard --
+
+def with_token_set(df: DataFrame, text_col: str = "text", out_col: str = "tok") -> DataFrame:
+    """Distinct lowercased whitespace tokens, sorted (set semantics)."""
+    return df.withColumn(
+        out_col, F.array_sort(F.array_distinct(F.transform(ws_tokens(text_col), F.lower)))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard over document pairs (id_a < id_b), optional
+    equality blocking.  This is the *verification* kernel: at corpus scale
+    feed it LSH candidates (lsh_candidate_pairs), where the pair space is
+    already bounded; unblocked it is quadratic and only for small inputs —
+    callers at scale MUST pass candidates or a block column."""
+    toks = with_token_set(df, text_col).select(
+        F.col(id_col).alias("id"), "tok", *([block_col] if block_col else [])
+    )
+    left = toks.select(
+        F.col("id").alias("id_a"), F.col("tok").alias("tok_a"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    right = toks.select(
+        F.col("id").alias("id_b"), F.col("tok").alias("tok_b"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    pairs = (
+        left.join(right, "blk").where(cond)
+        if block_col
+        else left.crossJoin(right).where(cond)
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+    union = F.size(F.array_union("tok_a", "tok_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- minhash --
+
+def shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Word n-gram shingles of the lowercased token stream; documents
+    shorter than n tokens contribute their full token string."""
+    toks = F.transform(ws_tokens(text_col), F.lower)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """k minhash values per document: min over shingles of xxhash64(shingle,
+    seed_j).  Pure column functions — signature generation is an embar-
+    rassingly parallel map, no shuffle."""
+    sh = shingles(text_col, shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(seed + j))))
+        for j in range(k)
+    ])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and pair documents sharing any band bucket.
+    Shuffle key is (band_idx, hash of the band slice) — small fixed-width
+    rows.  Returns distinct (id_a, id_b) candidates."""
+    k = bands * rows_per_band
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification of candidates only."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    toks = with_token_set(df, text_col).select(F.col(id_col).alias("id"), "tok")
+    pairs = (
+        cands.join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+    union = F.size(F.array_union("tok_a", "tok_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- simhash --
+
+_SIMHASH_SEED = 0x5EED
+
+
+def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens via an Arrow-batched pandas
+    UDF (numpy bit matrix; zero per-row Python).  Output: (id, simhash
+    as signed long)."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        # Flatten the batch to one token array, hash it in one vectorized
+        # call, then reduce per-document with np.add.reduceat — no
+        # per-token Python in the hash or the bit math.
+        tok_lists = [np.array((t or "").lower().split(), dtype=object) for t in texts]
+        counts = np.array([len(t) for t in tok_lists])
+        out = np.zeros(len(texts), dtype=np.uint64)
+        nonempty = counts > 0
+        if nonempty.any():
+            flat = np.concatenate([t for t in tok_lists if len(t)])
+            hashes = pd.util.hash_array(flat, hash_key="0123456789abcdef").astype(np.uint64)
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            signed = 2 * bits - 1  # (n_tokens, 64) of ±1
+            offsets = np.zeros(nonempty.sum(), dtype=np.int64)
+            np.cumsum(counts[nonempty][:-1], out=offsets[1:])
+            sums = np.add.reduceat(signed, offsets, axis=0)  # (n_docs_nonempty, 64)
+            sh = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nonempty] = sh
+        return pd.Series(out.view(np.int64))
+
+    return df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dups = pairs with Hamming distance <= max_hamming between
+    simhashes.  Candidate generation blocks on 16-bit chunks (pigeonhole:
+    any pair within distance 3 shares at least one of 4 chunks)."""
+    sigs = simhash_64(df, id_col, text_col)
+    chunks = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ])).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk")
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- embedding --
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine-similarity near-dup pairs.  ``block_col`` (e.g. a coarse LSH
+    bucket or cluster label) bounds the pair space; without it this is
+    all-pairs and only for small inputs."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), *(["blk"] if block_col else []))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), *(["blk"] if block_col else []))
+    pairs = a.join(b, "blk") if block_col else a.crossJoin(b)
+    pairs = pairs.where(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("v_a", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("v_b", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

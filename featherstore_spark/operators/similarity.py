@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Queries are broadcast (they are the small side by construction); the
+  corpus streams through one projection + per-query top-k window.  At 100
+  TB this is the right plan whenever |queries| is small (the usual case for
+  eval/retrieval audits): no corpus shuffle at all until the final
+  per-query k-row reduction.
+- ``lsh_ann_topk``: random-hyperplane LSH — corpus and queries are bucketed
+  by sign-pattern; exact scoring happens only within matching buckets
+  (multi-probe over ``n_tables`` independent tables).  Approximate, scales
+  to corpora where even one full scan per query batch is too much.
+
+Hyperplanes are hash-derived (fixed seed) — no RNG state, identical
+buckets on any cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cos(v_a: str, v_b: str) -> F.Column:
+    dot = F.aggregate(F.zip_with(v_a, v_b, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(F.transform(v_a, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nb = F.sqrt(F.aggregate(F.transform(v_b, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector.  Self-matches (same
+    id) are excluded.  Ties break by corpus id ASC (deterministic)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_cos("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random unit hyperplanes (hash-seeded PCG)."""
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Adds an array of ``n_tables`` sign-pattern bucket ids (one per LSH
+    table) via a vectorized pandas UDF (one matmul per Arrow batch)."""
+    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        buckets = []
+        for t, h in enumerate(planes):
+            signs = (m @ h.T) > 0  # (batch, n_planes)
+            ids = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+            # table index in the high bits so buckets never collide across tables
+            buckets.append((ids | (np.uint64(t) << np.uint64(56))).view(np.int64))
+        return pd.Series(np.stack(buckets, axis=1).tolist())
+
+    return df.withColumn(out_col, bucketize(F.col(vec_col).cast("array<double>")))
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only (query, corpus) pairs sharing an LSH
+    bucket in any table.  The join is a plain equi-join on bucket id —
+    shuffle-partitioned, AQE-skew-splittable, no broadcast of the corpus."""
+    qb = lsh_bucket_ids(queries, vec_col, n_planes, n_tables, dim).select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode("bucket").alias("b"),
+    )
+    cb = lsh_bucket_ids(corpus, vec_col, n_planes, n_tables, dim).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.explode("bucket").alias("b"),
+    )
+    scored = (
+        qb.join(cb, "b")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+        .withColumn("cosine", F.round(_cos("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

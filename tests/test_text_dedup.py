@@ -1,0 +1,153 @@
+"""Text analysis + dedup + similarity over the driver-provided documents/
+embeddings tables (sf0.001) and hand-built corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featherstore_spark.functions.text import fingerprint, lang_id, text_stats
+from featherstore_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    embedding_near_duplicates,
+)
+from featherstore_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark, documents):
+    """documents plus exact copies of 10 of them under new ids."""
+    copies = (
+        documents.where(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return documents.unionByName(copies)
+
+
+def test_text_stats_sane(documents):
+    stats = text_stats(documents).toPandas()
+    assert (stats["n_chars_computed"] == stats["n_chars"]).all()  # driver column agrees
+    assert (stats["n_tokens"] > 0).all()
+    assert stats["quality_score"].between(0, 1).all()
+    assert (stats["n_bpe_tokens"] >= stats["n_tokens"]).all()
+
+
+def test_fingerprint_is_stable_and_normalizing(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")], "id long, text string"
+    )
+    fps = df.select("id", fingerprint("text").alias("fp")).toPandas().set_index("id")["fp"]
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat est dans la maison pour que"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "id long, text string",
+    )
+    got = df.select("id", lang_id(F.col("text")).alias("lang")).toPandas().set_index("id")["lang"]
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_exact_dedup_finds_planted_copies(dup_corpus, documents):
+    n_docs = documents.count()
+    dups = exact_duplicates(dup_corpus).where(F.col("n_dups") > 1)
+    assert dups.count() == 10
+    # kept id is always the original (minimum)
+    assert dups.where(F.col("kept_id") >= 100000).count() == 0
+    kept = drop_exact_duplicates(dup_corpus)
+    assert kept.count() == n_docs
+
+
+def test_jaccard_pairs_finds_planted_near_dups(spark):
+    rows = [
+        (1, "spark shuffle join window feature vector arrow batch"),
+        (2, "spark shuffle join window feature vector arrow table"),  # 7/9 overlap
+        (3, "completely unrelated words here about cooking pasta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_pairs(df, threshold=0.5).toPandas()
+    assert len(pairs) == 1
+    assert (pairs.iloc[0]["id_a"], pairs.iloc[0]["id_b"]) == (1, 2)
+    assert abs(pairs.iloc[0]["jaccard"] - 7 / 9) < 1e-6
+
+
+def test_minhash_lsh_recalls_exact_copies(dup_corpus):
+    found = minhash_near_duplicates(dup_corpus, threshold=0.9).toPandas()
+    # every planted exact copy must be recalled (identical signatures ->
+    # identical bands -> candidate; jaccard 1.0 >= 0.9)
+    planted = {(i, i + 100000) for i in range(10)}
+    got = {(int(a), int(b)) for a, b in zip(found["id_a"], found["id_b"])}
+    assert planted <= got
+
+
+def test_minhash_agrees_with_exact_jaccard_on_high_sim(dup_corpus):
+    """LSH verification step computes the same jaccard as the exact kernel."""
+    found = minhash_near_duplicates(dup_corpus, threshold=0.9)
+    assert found.where(F.col("jaccard") < 0.9).count() == 0
+
+
+def test_simhash_near_dups_recall_exact_copies(dup_corpus):
+    found = simhash_near_duplicates(dup_corpus, max_hamming=3).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(found["id_a"], found["id_b"])}
+    planted = {(i, i + 100000) for i in range(10)}
+    assert planted <= got
+    assert (found["hamming"] <= 3).all()
+
+
+def test_embedding_near_dups_planted(spark, embeddings):
+    copies = embeddings.where(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = embeddings.unionByName(copies)
+    found = embedding_near_duplicates(corpus, threshold=0.999999).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(found["id_a"], found["id_b"])}
+    assert {(i, i + 100000) for i in range(5)} <= got
+
+
+def test_cosine_topk_exact(embeddings):
+    got = cosine_topk(
+        embeddings.where(F.col("vec_id") < 3), embeddings, k=5
+    ).toPandas()
+    assert set(got["query_id"]) == {0, 1, 2}
+    for q in (0, 1, 2):
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert len(g) == 5
+        assert (g["cosine"].diff().dropna() <= 1e-9).all()  # descending
+        assert (g["neighbor_id"] != q).all()
+
+
+def test_lsh_ann_overlaps_bruteforce(embeddings):
+    """ANN is approximate; this corpus is near-random (true top-5 cosine is
+    only ~0.3), the hardest case for LSH — 4 planes x 12 tables still must
+    recover a majority of the true top-5."""
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = cosine_topk(queries, embeddings, k=5).toPandas()
+    approx = lsh_ann_topk(queries, embeddings, k=5, n_planes=4, n_tables=12).toPandas()
+    recall_num = 0
+    for q in range(10):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recall_num += len(e & a)
+    assert recall_num / 50 >= 0.5, f"ANN recall too low: {recall_num}/50"
