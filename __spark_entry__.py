@@ -1,38 +1,725 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship materialization pipeline on sf0.001.
+``queries()`` exposes one named query per implemented operator from
+SURVEY.md §2 (+ the training-data operator families); ``oracle_sql()``
+gives the DuckDB-checkable ANSI SQL twin for every SQL-expressible one.
+
+Column-name and rounding discipline: every computed column is aliased
+identically on both sides; every double that crosses an aggregation is
+``round(x, 4..6)`` on both sides so value-hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------- helpers --
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_as_transcripts(events: DataFrame) -> DataFrame:
+    """Deterministic transcript-shaped view of the events table: user ≙
+    conversation, events ordered by (ts, event_id) ≙ turns.  Lets the full
+    transcript pipeline be oracle-checked on driver-provided data."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = (
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "purchase", "assistant")
+        .when(F.col("event_type") == "signup", "system")
+        .otherwise("tool")
+    )
+    return events.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "purchase", F.lit("checkout")).alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+_TRANSCRIPT_MAP_SQL = """
+    SELECT 'u' || user_id AS conv_id,
+           (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INTEGER AS turn_idx,
+           CASE WHEN event_type IN ('click','view') THEN 'user'
+                WHEN event_type = 'purchase' THEN 'assistant'
+                WHEN event_type = 'signup' THEN 'system'
+                ELSE 'tool' END AS role,
+           props AS text,
+           CASE WHEN event_type = 'purchase' THEN 'checkout' END AS tool,
+           ts
+    FROM events
+"""
+
+
+# --------------------------------------------------------------- entry ----
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full per-turn feature materialization (lag/lead + trailing
+    windows + sessionization) over sf0.001 events mapped to transcripts."""
+    from featherstore_spark.plans.materialize import build_feature_log
+
+    t = _events_as_transcripts(_t(spark, SF0001, "events"))
+    log = build_feature_log(t, trailing="10 minutes", session_gap="30 minutes")
+    return log.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "prev_role", "next_role",
+        F.round("gap_s", 6).alias("gap_s"),
+        "text_len", "is_tool_call", "cum_turns", "cum_tool_calls",
+        "w_turns", "w_tool_calls",
+        F.round("w_tool_rate", 6).alias("w_tool_rate"),
+        "session_id",
+    )
+
+
+# -------------------------------------------------------------- queries ---
+# Feature-engine operators over `events` (user_id ≙ entity, ts ≙ event time)
+
+def q_latest_per_entity(spark, sf_dir):
+    from featherstore_spark.operators.latest import latest_per_entity
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_entity(ev, entity_col="user_id", ts_col="ts", tiebreak_cols=("event_id",))
+
+
+def _asof_clicks_purchases(spark, sf_dir, strategy):
+    from featherstore_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    feats = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id", "value")
+    out = asof_join(
+        spine, feats, on="user_id", ts="ts", tiebreaks=("event_id",),
+        strategy=strategy, bucket="1 day",
+    )
+    return out.select(
+        "user_id", "ts", "event_id", "f_ts", "f_event_id",
+        F.round("f_value", 4).alias("f_value"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    return _asof_clicks_purchases(spark, sf_dir, "window")
+
+
+def q_asof_join_bucketed(spark, sf_dir):
+    return _asof_clicks_purchases(spark, sf_dir, "bucketed")
+
+
+def q_history_scan(spark, sf_dir):
+    from featherstore_spark.operators.latest import history
+
+    ev = _t(spark, sf_dir, "events")
+    return history(
+        ev, 7, "2024-01-05 00:00:00", "2024-01-20 00:00:00",
+        entity_col="user_id", ts_col="ts",
+    )
+
+
+def q_semi_join_entities(spark, sf_dir):
+    from featherstore_spark.operators.latest import filter_entities
+
+    ev = _t(spark, sf_dir, "events")
+    error_users = ev.where(F.col("event_type") == "error").select("user_id")
+    signups = ev.where(F.col("event_type") == "signup")
+    return filter_entities(signups, error_users, "user_id")
+
+
+def q_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from featherstore_spark.functions.time import epoch_us
+
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.round((epoch_us("ts") - epoch_us(F.lag("ts", 1).over(w))) / 1e6, 6).alias("gap_s"),
+    )
+
+
+def q_rolling_window(spark, sf_dir):
+    from featherstore_spark.functions.time import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts")).rangeBetween(-3_600_000_000, 0)
+    return ev.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+        F.round(F.sum("value").over(w), 4).alias("w_sum"),
+    )
+
+
+def q_tumbling_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return ev.groupBy(F.col("user_id"), win.start.alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def q_sliding_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return ev.groupBy(F.col("user_id"), win.start.alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    from featherstore_spark.operators.sessionize import sessionize
+    from featherstore_spark.functions.time import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, entity_col="user_id", ts_col="ts", order_col=("ts", "event_id"), gap="2 hours")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round((epoch_us(F.max("ts")) - epoch_us(F.min("ts"))) / 1e6, 6).alias("duration_s"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_transition_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("user_id", F.concat_ws("->", "prev_type", "event_type").alias("transition"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_materialize_pipeline(spark, sf_dir):
+    """Full transcript pipeline, oracle-checked end-to-end."""
+    from featherstore_spark.plans.materialize import build_feature_log
+
+    t = _events_as_transcripts(_t(spark, sf_dir, "events"))
+    log = build_feature_log(t, trailing="10 minutes", session_gap="30 minutes")
+    return log.select(
+        "conv_id", "turn_idx", "role", "prev_role", "next_role",
+        F.round("gap_s", 6).alias("gap_s"),
+        "text_len", "is_tool_call", "cum_turns", "cum_tool_calls",
+        "w_turns", "w_tool_calls",
+        F.round("w_tool_rate", 6).alias("w_tool_rate"),
+        "session_id",
+    )
+
+
+# ------------------------------------------------------------ TPC-H core --
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_revenue_forecast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+    return out
+
+
+def q_top_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_nation_rollup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_union_sources(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.lit("clickstream").alias("src")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.lit("errorlog").alias("src")
+    )
+    return clicks.unionByName(errors)
+
+
+# ----------------------------------------------------- text / documents ---
+
+def q_text_stats(spark, sf_dir):
+    from featherstore_spark.functions.text import text_stats, fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_punct", "n_stopwords",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from featherstore_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    from featherstore_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from featherstore_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.9)
+
+
+def q_media_byte_stats(spark, sf_dir):
+    from featherstore_spark.functions.multimodal import decode_media, documents_as_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media(documents_as_media(docs), decoder="fake").select(
+        "media_id", "byte_len", "payload_md5"
+    )
+
+
+# ------------------------------------------------------------ embeddings --
+
+def q_cosine_topk(spark, sf_dir):
+    from featherstore_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk(queries_df, emb, k=3)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from featherstore_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# ------------------------------------------- non-SQL-expressible (no oracle)
+
+def q_minhash_near_dups(spark, sf_dir):
+    from featherstore_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.9)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from featherstore_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from featherstore_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb.where(F.col("vec_id") < 5), emb, k=3, n_planes=4, n_tables=12)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # feature engine (SURVEY §2: J1/J3/J4, P1/P3, W1-W4, A1-A4, O1/O2, U1)
+        "latest_per_entity": q_latest_per_entity,
+        "asof_join": q_asof_join,
+        "asof_join_bucketed": q_asof_join_bucketed,
+        "history_scan": q_history_scan,
+        "semi_join_entities": q_semi_join_entities,
+        "lag_lead": q_lag_lead,
+        "rolling_window": q_rolling_window,
+        "tumbling_agg": q_tumbling_agg,
+        "sliding_agg": q_sliding_agg,
+        "sessionize": q_sessionize,
+        "transition_counts": q_transition_counts,
+        "materialize_pipeline": q_materialize_pipeline,
+        # joins/aggregates breadth (TPC-H-ish)
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "revenue_forecast": q_revenue_forecast,
+        "top_customers": q_top_customers,
+        "nation_rollup": q_nation_rollup,
+        "union_sources": q_union_sources,
+        # training-data ops
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "media_byte_stats": q_media_byte_stats,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        # scale-path approximations (rows-only check: hash/band internals
+        # are not SQL-expressible)
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_ann_topk": q_lsh_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "latest_per_entity": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "asof_join": _ASOF_ORACLE,
+        "asof_join_bucketed": _ASOF_ORACLE,
+        "history_scan": """
+            SELECT * FROM events
+            WHERE user_id = 7
+              AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "semi_join_entities": """
+            SELECT * FROM events
+            WHERE event_type = 'signup'
+              AND user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
+        """,
+        "lag_lead": """
+            SELECT user_id, event_id, event_type,
+                   LAG(event_type) OVER w AS prev_type,
+                   LEAD(event_type) OVER w AS next_type,
+                   ROUND((epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1e6, 6) AS gap_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rolling_window": """
+            SELECT user_id, event_id,
+                   COUNT(*) OVER w AS w_cnt,
+                   ROUND(SUM(value) OVER w, 4) AS w_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "tumbling_agg": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_agg": """
+            WITH g AS (SELECT UNNEST(generate_series(0, 3)) AS k)
+            SELECT user_id,
+                   time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+                   COUNT(*) AS n_events
+            FROM events, g
+            GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN epoch_us(ts) - epoch_us(
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          ) > 7200000000 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM sess GROUP BY 1, 2
+        """,
+        "transition_counts": """
+            WITH lagged AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events
+            )
+            SELECT user_id, prev_type || '->' || event_type AS transition, COUNT(*) AS n
+            FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "materialize_pipeline": f"""
+            WITH t AS ({_TRANSCRIPT_MAP_SQL}),
+            feat AS (
+              SELECT conv_id, turn_idx, role,
+                     LAG(role) OVER w AS prev_role,
+                     LEAD(role) OVER w AS next_role,
+                     ROUND((epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1e6, 6) AS gap_s,
+                     LENGTH(COALESCE(text, '')) AS text_len,
+                     CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS is_tool_call,
+                     COUNT(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_turns,
+                     SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tool_calls_raw,
+                     COUNT(*) OVER r AS w_turns,
+                     (SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER r)::BIGINT AS w_tool_calls,
+                     CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess,
+                     ts
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+                     r AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+            )
+            SELECT conv_id, turn_idx, role, prev_role, next_role, gap_s,
+                   text_len, is_tool_call, cum_turns,
+                   cum_tool_calls_raw::BIGINT AS cum_tool_calls,
+                   w_turns, w_tool_calls,
+                   ROUND(w_tool_calls::DOUBLE / w_turns, 6) AS w_tool_rate,
+                   (SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+            FROM feat
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "revenue_forecast": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spent DESC, c_custkey
+            LIMIT 10
+        """,
+        "nation_rollup": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "union_sources": """
+            SELECT user_id, event_id, 'clickstream' AS src FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, event_id, 'errorlog' AS src FROM events WHERE event_type = 'error'
+        """,
+        "text_stats": _TEXT_STATS_ORACLE,
+        "lang_id": _LANG_ORACLE,
+        "exact_dedup": r"""
+            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                   MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(string_split_regex(trim(text), '\s+'),
+                                                  x -> lower(x))) AS tok
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.tok, b.tok))::DOUBLE /
+                         len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.tok, b.tok))::DOUBLE /
+                  len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
+        """,
+        "media_byte_stats": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text))::BIGINT AS byte_len,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              -- rank by the 6-decimal-rounded cosine (the operator's output)
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ROUND(ROUND(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6), 4) AS cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 3
+        """,
+        "embedding_near_dups": """
+            -- ROUND(ROUND(x,6),4): the operator contract rounds cosine to 6
+            -- decimals; the query rounds that to 4 — replicate both stages.
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+    }
+
+
+# Shared oracle texts ---------------------------------------------------------
+
+_ASOF_ORACLE = """
+    SELECT s.user_id, s.ts, s.event_id,
+      (SELECT f.ts FROM events f
+        WHERE f.user_id = s.user_id AND f.event_type = 'purchase' AND f.ts <= s.ts
+        ORDER BY f.ts DESC, f.event_id DESC LIMIT 1) AS f_ts,
+      (SELECT f.event_id FROM events f
+        WHERE f.user_id = s.user_id AND f.event_type = 'purchase' AND f.ts <= s.ts
+        ORDER BY f.ts DESC, f.event_id DESC LIMIT 1) AS f_event_id,
+      (SELECT ROUND(f.value, 4) FROM events f
+        WHERE f.user_id = s.user_id AND f.event_type = 'purchase' AND f.ts <= s.ts
+        ORDER BY f.ts DESC, f.event_id DESC LIMIT 1) AS f_value
+    FROM events s WHERE s.event_type = 'click'
+"""
+
+def _stopword_sql_list() -> str:
+    from featherstore_spark.functions.text import ALL_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+
+
+_TEXT_STATS_ORACLE_TEMPLATE = r"""
+    SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::BIGINT AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::BIGINT AS n_punct,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> lower(x) IN (__STOPWORDS__)))::BIGINT AS n_stopwords,
+           ROUND(CASE WHEN length(text) > 0
+                THEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE / length(text)
+                ELSE 0 END, 6) AS punct_ratio,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+"""
+
+
+def _build_text_stats_oracle() -> str:
+    return _TEXT_STATS_ORACLE_TEMPLATE.replace("__STOPWORDS__", _stopword_sql_list())
+
+
+_TEXT_STATS_ORACLE = _build_text_stats_oracle()
+
+
+_LANG_ORACLE_TEMPLATE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS tok
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(list_filter(tok, x -> x IN ({en}))) AS en,
+             len(list_filter(tok, x -> x IN ({de}))) AS de,
+             len(list_filter(tok, x -> x IN ({fr}))) AS fr,
+             len(list_filter(tok, x -> x IN ({es}))) AS es
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+                WHEN fr > 0 AND fr >= es THEN 'fr'
+                WHEN es > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM s
+"""
+
+
+def _build_lang_oracle() -> str:
+    from featherstore_spark.functions.text import STOPWORDS
+
+    def lst(lang):
+        return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+    return _LANG_ORACLE_TEMPLATE.format(en=lst("en"), de=lst("de"), fr=lst("fr"), es=lst("es"))
+
+
+_LANG_ORACLE = _build_lang_oracle()

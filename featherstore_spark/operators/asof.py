@@ -133,7 +133,22 @@ def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket):
     f_cols = [prefix + ts] + [prefix + c for c in val_cols]
     sort_right = [ts] + list(tiebreaks)
 
+    # Spine and features often share lineage (e.g. two filters of one
+    # table).  Cogroup then dedups right-side attributes whose expression
+    # ids also appear on the left, silently dropping columns — so the right
+    # side is re-aliased to fresh names (fresh expr ids) and renamed back
+    # inside the pandas merge.
+    _r = "__r_"
+
+    def _realias(df):
+        return df.select(
+            F.col(on),
+            *([F.col("__b")] if "__b" in df.columns else []),
+            *[F.col(c).alias(_r + c) for c in df.columns if c not in (on, "__b")],
+        )
+
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        right = right.rename(columns={c: c[len(_r):] for c in right.columns if c.startswith(_r)})
         left = left[spine_cols]
         if len(left) == 0:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
@@ -154,7 +169,7 @@ def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket):
         return merged[out_cols]
 
     if bucket is None:
-        grouped = spine.groupBy(on).cogroup(features.groupBy(on))
+        grouped = spine.groupBy(on).cogroup(_realias(features).groupBy(on))
         return grouped.applyInPandas(merge, schema=out_schema)
 
     width_us = _interval_to_us(bucket)
@@ -201,5 +216,5 @@ def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket):
     fb_aug = fb.select(on, "__b", ts, *val_cols, *[c for c in tiebreaks if c not in val_cols]) \
         .unionByName(carried.select(on, "__b", ts, *val_cols, *[c for c in tiebreaks if c not in val_cols]))
 
-    grouped = sb.groupBy(on, "__b").cogroup(fb_aug.groupBy(on, "__b"))
+    grouped = sb.groupBy(on, "__b").cogroup(_realias(fb_aug).groupBy(on, "__b"))
     return grouped.applyInPandas(merge, schema=out_schema)

@@ -21,12 +21,15 @@ def sessionize(
     df: DataFrame,
     entity_col: str = "conv_id",
     ts_col: str = "ts",
-    order_col: str = "turn_idx",
+    order_col: str | tuple[str, ...] = "turn_idx",
     gap: str = "30 minutes",
 ) -> DataFrame:
-    """Adds ``session_id`` (0-based per entity, ordered by order_col)."""
+    """Adds ``session_id`` (0-based per entity, ordered by order_col —
+    a single column or a tuple, e.g. ("ts", "event_id") for logs without a
+    dense ordinal)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     gap_us = _interval_to_us(gap)
-    w = Window.partitionBy(entity_col).orderBy(order_col)
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     new_flag = (
         epoch_us(F.col(ts_col)) - epoch_us(F.lag(ts_col, 1).over(w)) > gap_us
@@ -41,10 +44,11 @@ def session_aggregates(
     df: DataFrame,
     entity_col: str = "conv_id",
     ts_col: str = "ts",
+    order_col: str | tuple[str, ...] = "turn_idx",
     gap: str = "30 minutes",
 ) -> DataFrame:
     """A4 per-session rollup: length, duration, tool density, role mix."""
-    with_sessions = sessionize(df, entity_col, ts_col, gap=gap)
+    with_sessions = sessionize(df, entity_col, ts_col, order_col, gap=gap)
     return with_sessions.groupBy(entity_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.min(ts_col).alias("session_start"),
