@@ -97,9 +97,13 @@ def _asof_clicks_purchases(spark, sf_dir, strategy):
     ev = _t(spark, sf_dir, "events")
     spine = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     feats = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id", "value")
+    # bucket width sized so per-(entity, bucket) groups stay large enough
+    # to amortize the Arrow/pandas per-group overhead (~150 users over ~1
+    # month -> 7-day buckets ≈ 5 groups/user); correctness is width-
+    # independent (boundary carry), only group granularity changes.
     out = asof_join(
         spine, feats, on="user_id", ts="ts", tiebreaks=("event_id",),
-        strategy=strategy, bucket="1 day",
+        strategy=strategy, bucket="7 days",
     )
     return out.select(
         "user_id", "ts", "event_id", "f_ts", "f_event_id",

@@ -64,21 +64,23 @@ def asof_join(
     prefix: str = DEFAULT_PREFIX,
     strategy: str = "window",
     bucket: str = "1 day",
+    n_salts: int = 32,
 ) -> DataFrame:
     """Enrich every spine row with the latest preceding feature row.
 
     Output = spine columns + ``{prefix}{ts}`` (matched feature timestamp,
     null when no feature precedes the spine point) + ``{prefix}{col}`` for
-    every feature value column.
+    every feature value column.  ``n_salts`` bounds the pandas group count
+    for the cogroup strategies (groups = salts, or time-buckets x salts).
     """
     tiebreaks = [c for c in tiebreaks if c in features.columns]
     val_cols = _value_cols(features, on, ts, tiebreaks)
     if strategy == "window":
         return _asof_window(spine, features, on, ts, tiebreaks, prefix, val_cols)
     if strategy == "cogroup":
-        return _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=None)
+        return _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=None, n_salts=n_salts)
     if strategy == "bucketed":
-        return _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=bucket)
+        return _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=bucket, n_salts=n_salts)
     raise ValueError(f"unknown as-of strategy {strategy!r}")
 
 
@@ -126,12 +128,21 @@ def _asof_window(spine, features, on, ts, tiebreaks, prefix, val_cols):
 
 # ----------------------------------------------------- cogroup / bucketed --
 
-def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket):
+def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket, n_salts=32):
     out_schema = _output_schema(spine, features, on, ts, prefix, val_cols)
     spine_cols = spine.columns
     out_cols = [f.name for f in out_schema.fields]
     f_cols = [prefix + ts] + [prefix + c for c in val_cols]
     sort_right = [ts] + list(tiebreaks)
+
+    # Grouping design: the pandas-group key is NEVER the raw entity — a
+    # per-entity group pays ~2-4 ms of Arrow->pandas frame construction,
+    # which at millions of entities dwarfs the actual merge.  Instead the
+    # group key is a bounded salt (hash(entity) % n_salts, optionally x a
+    # time bucket), so group count is O(parallelism), each group holds many
+    # entities, and ONE vectorized ``merge_asof(by=entity)`` call handles
+    # them all.
+    salt = F.pmod(F.xxhash64(F.col(on)), F.lit(n_salts))
 
     # Spine and features often share lineage (e.g. two filters of one
     # table).  Cogroup then dedups right-side attributes whose expression
@@ -141,10 +152,11 @@ def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket):
     _r = "__r_"
 
     def _realias(df):
+        # every non-key column gets a fresh alias (fresh expr id) — the
+        # entity column included, since only __g is a grouping key
         return df.select(
-            F.col(on),
-            *([F.col("__b")] if "__b" in df.columns else []),
-            *[F.col(c).alias(_r + c) for c in df.columns if c not in (on, "__b")],
+            *([F.col("__g")] if "__g" in df.columns else []),
+            *[F.col(c).alias(_r + c) for c in df.columns if c != "__g"],
         )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -157,19 +169,26 @@ def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket):
             for c in f_cols:
                 out[c] = None
             return out[out_cols]
-        # na_position='first' mirrors asc_nulls_first in the window
-        # strategy: a null tiebreak never beats a real one at equal ts.
+        # Global (ts, tiebreaks) sort: merge_asof needs the on-key sorted;
+        # within each entity the relative (ts, tiebreak) order makes the
+        # LAST matching row the max-tiebreak one.  na_position='first'
+        # mirrors asc_nulls_first in the window strategy.
         right = right.sort_values(sort_right, kind="mergesort", na_position="first")
-        payload = right[[ts] + val_cols].rename(columns={c: prefix + c for c in [ts] + val_cols})
+        payload = right[[on, ts] + val_cols].rename(
+            columns={c: prefix + c for c in [ts] + val_cols}
+        )
         payload[ts] = right[ts].to_numpy()
         order = left[ts].to_numpy().argsort(kind="stable")
         merged = pd.merge_asof(
-            left.iloc[order], payload, on=ts, direction="backward", allow_exact_matches=True
+            left.iloc[order], payload, on=ts, by=on,
+            direction="backward", allow_exact_matches=True,
         )
         return merged[out_cols]
 
     if bucket is None:
-        grouped = spine.groupBy(on).cogroup(_realias(features).groupBy(on))
+        sb = spine.withColumn("__g", salt)
+        fb = _realias(features.withColumn("__g", salt))
+        grouped = sb.groupBy("__g").cogroup(fb.groupBy("__g"))
         return grouped.applyInPandas(merge, schema=out_schema)
 
     width_us = _interval_to_us(bucket)
@@ -216,5 +235,11 @@ def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket):
     fb_aug = fb.select(on, "__b", ts, *val_cols, *[c for c in tiebreaks if c not in val_cols]) \
         .unionByName(carried.select(on, "__b", ts, *val_cols, *[c for c in tiebreaks if c not in val_cols]))
 
-    grouped = sb.groupBy(on, "__b").cogroup(_realias(fb_aug).groupBy(on, "__b"))
+    # Combined group key: time bucket x entity salt — the time axis splits
+    # mega-entities (skew), the salt axis bounds group count; entities
+    # inside a group are handled by merge_asof(by=entity) in one call.
+    g_expr = (F.col("__b") * n_salts + F.pmod(F.xxhash64(F.col(on)), F.lit(n_salts))).cast("long")
+    sb_g = sb.withColumn("__g", g_expr).drop("__b")
+    fb_g = _realias(fb_aug.withColumn("__g", g_expr).drop("__b"))
+    grouped = sb_g.groupBy("__g").cogroup(fb_g.groupBy("__g"))
     return grouped.applyInPandas(merge, schema=out_schema)

@@ -64,16 +64,18 @@ def rolling_features(
     frame is a rangeBetween on microsecond epoch — exact µs semantics, no
     second-truncation."""
     width = interval_to_us(trailing)
-    w = (
-        Window.partitionBy(entity_col)
-        .orderBy(epoch_us(ts_col))
-        .rangeBetween(-width, 0)
-    )
+    # ordering on a materialized column (not the epoch expression inline):
+    # an expression ordering gets a fresh projected attribute per window
+    # call, splitting into two Window operators with two Sorts; a shared
+    # column keeps both aggregates in ONE operator with one Sort.
     tool_flag = F.col("tool").isNotNull().cast("int")
+    w = Window.partitionBy(entity_col).orderBy("__ord_us").rangeBetween(-width, 0)
     return (
-        df.withColumn("w_turns", F.count(F.lit(1)).over(w))
+        df.withColumn("__ord_us", epoch_us(ts_col))
+        .withColumn("w_turns", F.count(F.lit(1)).over(w))
         .withColumn("w_tool_calls", F.sum(tool_flag).over(w))
         .withColumn("w_tool_rate", (F.col("w_tool_calls") / F.col("w_turns")).cast("double"))
+        .drop("__ord_us")
     )
 
 

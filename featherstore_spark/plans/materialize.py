@@ -50,9 +50,13 @@ def build_feature_log(
 ) -> DataFrame:
     """Per-turn feature log: every transcript turn + FEATURE_COLS."""
     t = validate_transcripts(transcripts) if validate else transcripts
+    # order matters for plan shape: turn_features and sessionize both
+    # window over (conv_id ORDER BY turn_idx) — adjacent, they share one
+    # Sort; rolling_features (ORDER BY epoch_us(ts)) needs its own.  Total:
+    # one Exchange + two Sorts instead of one Exchange + three.
     t = turn_features(t)
-    t = rolling_features(t, trailing=trailing)
     t = sessionize(t, gap=session_gap)
+    t = rolling_features(t, trailing=trailing)
     return t
 
 

@@ -29,6 +29,10 @@ _DEFAULTS = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # Deterministic session timezone: all event time is UTC.
     "spark.sql.session.timeZone": "UTC",
+    # lz4 writes measured ~1.7x faster than snappy on the wide text-heavy
+    # feature log (29.5 s vs 50 s for a 2M-turn materialization) for a
+    # modest size increase — the right trade for a write-heavy pipeline.
+    "spark.sql.parquet.compression.codec": "lz4",
 }
 
 
@@ -56,6 +60,11 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # local mode defaults to a 1g JVM heap — far too small for 32 executor
+    # threads.  On a real cluster spark-submit owns these; in local mode we
+    # size the single JVM to the sandbox (128 GiB box).
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    conf["spark.driver.maxResultSize"] = "4g"
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
