@@ -90,13 +90,18 @@ def main() -> None:
         transcripts = spark.read.parquet(corpus_dir)
         n_turns = transcripts.count()
 
+        # run twice: run 1 pays whole-stage-codegen JIT compilation (NOT
+        # paid per-job on a long-lived cluster), run 2 is steady state.
         out_dir = os.path.join(tmp, "features")
-        t0 = time.perf_counter()
-        log = build_feature_log(transcripts)
-        ordered_output(log, n_buckets=max(2 * cpus, 32)).write.mode("overwrite").partitionBy(
-            "p_bucket"
-        ).parquet(out_dir)
-        mat_sec = time.perf_counter() - t0
+        mat_secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            log = build_feature_log(transcripts)
+            ordered_output(log, n_buckets=max(2 * cpus, 32)).write.mode("overwrite").partitionBy(
+                "p_bucket"
+            ).parquet(out_dir)
+            mat_secs.append(time.perf_counter() - t0)
+        mat_sec = mat_secs[-1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -110,6 +115,7 @@ def main() -> None:
         "materialize": {
             "n_turns": n_turns,
             "seconds": round(mat_sec, 3),
+            "cold_seconds": round(mat_secs[0], 3),
             "turns_per_sec": round(n_turns / mat_sec, 1),
             "cores": cpus,
         },

@@ -44,7 +44,12 @@ def turn_features(
                 (epoch_us(ts_col) - epoch_us("prev_ts")) / 1e6,
             ),
         )
-        .withColumn("text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long"))
+        .withColumn(
+            "text_len",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+            if "text" in df.columns
+            else F.col("text_len"),  # narrow pipelines precompute it and drop text
+        )
         .withColumn("is_tool_call", F.col("tool").isNotNull().cast("int"))
         .withColumn("cum_turns", F.count(F.lit(1)).over(wcum))
         .withColumn("cum_tool_calls", F.sum("is_tool_call").over(wcum))
