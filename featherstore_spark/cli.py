@@ -1,0 +1,121 @@
+"""spark-submit entrypoint (north rule: ships as a spark-submit
+--py-files package).
+
+Usage (cluster):
+    zip -r featherstore_spark.zip featherstore_spark
+    spark-submit --py-files featherstore_spark.zip \\
+        featherstore_spark/cli.py materialize \\
+        --input /data/transcripts --output /data/features \\
+        --spine /data/spine --n-buckets 256 --resume
+
+Subcommands:
+    materialize  transcripts -> per-turn feature log (optionally as-of
+                 joined to a spine), checkpointed per bucket, resumable
+    generate     deterministic synthetic transcript corpus (FIXTURES.md)
+
+In local runs the module builds its own SparkSession; under spark-submit
+the session comes from the launcher (getOrCreate picks up the submit
+conf — master/executors/memory are owned by spark-submit, not this code).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="featherstore_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("materialize", help="materialize per-turn features")
+    m.add_argument("--input", required=True, help="transcript table path (parquet)")
+    m.add_argument("--output", required=True, help="feature table output path")
+    m.add_argument("--spine", help="optional spine table path -> point-in-time vectors")
+    m.add_argument("--trailing", default="10 minutes")
+    m.add_argument("--session-gap", default="30 minutes")
+    m.add_argument("--asof-strategy", default="window", choices=["window", "cogroup", "bucketed"])
+    m.add_argument("--asof-bucket", default="1 day")
+    m.add_argument("--n-buckets", type=int, default=64)
+    m.add_argument("--resume", action="store_true", help="skip buckets already checkpointed")
+
+    g = sub.add_parser("generate", help="generate a synthetic transcript corpus")
+    g.add_argument("--output", required=True)
+    g.add_argument("--n-convs", type=int, default=2000)
+    g.add_argument("--mean-turns", type=int, default=30)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--skew", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from featherstore_spark.session import get_spark
+
+    spark = get_spark(app_name=f"featherstore_spark_{args.cmd}")
+
+    if args.cmd == "generate":
+        from featherstore_spark.datagen import generate_transcripts
+
+        df = generate_transcripts(
+            spark, n_convs=args.n_convs, mean_turns=args.mean_turns,
+            seed=args.seed, skew=args.skew,
+        )
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output, "rows": spark.read.parquet(args.output).count()}))
+        return 0
+
+    # materialize
+    from pyspark.sql import functions as F
+
+    from featherstore_spark.operators.asof import asof_join
+    from featherstore_spark.plans.checkpoint import run_with_checkpoint
+    from featherstore_spark.plans.materialize import FEATURE_COLS, build_feature_log
+
+    transcripts = spark.read.parquet(args.input)
+    lineage = {
+        "input": args.input,
+        "params": {
+            "trailing": args.trailing,
+            "session_gap": args.session_gap,
+            "n_buckets": args.n_buckets,
+        },
+    }
+    if args.spine is None:
+        if not args.resume:
+            # clean run: discard any prior manifest so nothing is skipped
+            import os
+
+            from featherstore_spark.plans.checkpoint import MANIFEST
+
+            manifest_path = os.path.join(args.output, MANIFEST)
+            if os.path.exists(manifest_path):
+                os.remove(manifest_path)
+        metrics = run_with_checkpoint(
+            transcripts,
+            args.output,
+            lineage,
+            n_buckets=args.n_buckets,
+            pipeline=lambda t: build_feature_log(t, args.trailing, args.session_gap),
+        )
+        print(json.dumps({"output": args.output, **metrics}))
+        return 0
+
+    spine = spark.read.parquet(args.spine)
+    log = build_feature_log(transcripts, args.trailing, args.session_gap)
+    feats = log.select("conv_id", "ts", "turn_idx", *FEATURE_COLS)
+    out = asof_join(
+        spine, feats, on="conv_id", ts="ts", tiebreaks=("turn_idx",),
+        strategy=args.asof_strategy, bucket=args.asof_bucket,
+    )
+    out = out.withColumn(
+        "p_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(args.n_buckets)).cast("int")
+    )
+    out.write.mode("overwrite").partitionBy("p_bucket").parquet(args.output)
+    print(json.dumps({"output": args.output, "rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

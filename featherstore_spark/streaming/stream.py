@@ -1,0 +1,98 @@
+"""Structured Streaming counterparts of the batch windowed operators.
+
+The reference has no streaming (request-driven batch ingestion only,
+/root/reference/pkg/flight/server.go:352-408; SURVEY §2.9).  The batch
+operators in this engine were deliberately designed on watermark-
+compatible primitives, so their streaming twins are one-liners:
+
+- A1 tumbling aggregates  -> window() + watermark
+- W4 gap sessionization   -> session_window(ts, gap) + watermark
+- ingest validation       -> same schema contract on readStream
+
+Late data: rows older than the watermark relative to max event time are
+dropped from aggregates — the streaming analogue of the backfill path
+(late rows in batch go through checkpoint-resumed re-materialization of
+their partitions instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from featherstore_spark.schema import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, path: str, max_files: int = 64) -> DataFrame:
+    """File-source transcript stream with the declared schema (schema
+    enforcement at the ingest boundary, as batch validate_transcripts)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_tumbling_aggregates(
+    stream: DataFrame,
+    width: str = "5 minutes",
+    watermark: str = "30 minutes",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of windows.tumbling_aggregates (same output names)."""
+    win = F.window(F.col(ts_col), width)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(entity_col), win.start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("tool").isNotNull().cast("int")).alias("n_tool_calls"),
+            F.round(F.avg(F.col("tool").isNotNull().cast("int")), 6).alias("tool_rate"),
+            # exact distinct is unsupported on streaming aggregates
+            F.approx_count_distinct("role").alias("n_roles_approx"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("text_chars"),
+        )
+    )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of sessionize.session_aggregates using the native
+    ``session_window`` (gap-merged windows; same gap semantics: a row at
+    exactly gap distance extends the session)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(entity_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("tool").isNotNull().cast("int")).alias("n_tool_calls"),
+            F.approx_count_distinct("role").alias("n_roles_approx"),
+        )
+        .select(
+            entity_col,
+            F.col("session_window.start").alias("session_start"),
+            "n_turns",
+            "n_tool_calls",
+            "n_roles_approx",
+        )
+    )
+
+
+def run_stream_to_table(out_df: DataFrame, target_dir: str, checkpoint_dir: str):
+    """availableNow trigger: process the whole backlog then stop — the
+    streaming analogue of a batch backfill, restartable from the stream
+    checkpoint (exactly-once sink via idempotent file commits)."""
+    return (
+        out_df.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
