@@ -155,6 +155,48 @@ class FeatureCatalog:
         cols = [f.name for f in fs.schema.fields]
         return self.spark.read.parquet(self._data_path(name)).select(*cols)
 
+    # -- serving parity: reference FeatureStore.GetFeatures /
+    # GetFeatureHistory (pkg/core/model.go:66-80) ------------------------
+    def get_features(self, name: str, entity_ids=None, as_of=None) -> DataFrame:
+        """Latest feature row per requested entity, optionally as of a
+        point in time — the reference's GetFeatures
+        (duckdb.go:608-636) with the C1/C2 determinism fixes."""
+        from featherstore_spark.operators.latest import latest_per_entity
+
+        fs = self.get_feature_set(name)
+        tiebreaks = [c for c in ("turn_idx", "event_id") if c in [f.name for f in fs.schema.fields]]
+        return latest_per_entity(
+            self.read(name),
+            entity_col=fs.entity_col,
+            ts_col=fs.ts_col,
+            tiebreak_cols=tuple(tiebreaks),
+            entity_ids=entity_ids,
+            as_of=as_of,
+        )
+
+    def get_feature_history(self, name: str, entity_id, start, end) -> DataFrame:
+        """Inclusive-range history for one entity, newest first — the
+        reference's GetFeatureHistory (duckdb.go:683-689, C3 bounds)."""
+        from featherstore_spark.operators.latest import history
+
+        fs = self.get_feature_set(name)
+        return history(
+            self.read(name), entity_id, start, end,
+            entity_col=fs.entity_col, ts_col=fs.ts_col,
+        )
+
+    def get_features_at_spine(self, name: str, spine: DataFrame, strategy: str = "window") -> DataFrame:
+        """Point-in-time feature vectors at every (entity, ts) spine row —
+        the as-of generalization the reference lacks (SURVEY J3)."""
+        from featherstore_spark.operators.asof import asof_join
+
+        fs = self.get_feature_set(name)
+        tiebreaks = [c for c in ("turn_idx", "event_id") if c in [f.name for f in fs.schema.fields]]
+        return asof_join(
+            spine, self.read(name), on=fs.entity_col, ts=fs.ts_col,
+            tiebreaks=tuple(tiebreaks), strategy=strategy,
+        )
+
     # ---------------------------------------------------------------------
     def _path(self, name: str) -> str:
         if "/" in name or name.startswith("."):

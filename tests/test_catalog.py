@@ -73,3 +73,38 @@ def test_duplicate_create_rejected(catalog):
     catalog.create_feature_set("a", TRANSCRIPT_SCHEMA)
     with pytest.raises(ValueError):
         catalog.create_feature_set("a", TRANSCRIPT_SCHEMA)
+
+
+def test_get_features_serving_parity(catalog, transcripts, spark):
+    """Reference GetFeatures/GetFeatureHistory round-trip through the
+    catalog (parity with pkg/storage/parquet/parquet_test.go:103-198)."""
+    import pandas as pd
+
+    from featherstore_spark.oracle import latest_per_entity_pd
+
+    catalog.create_feature_set("serve", TRANSCRIPT_SCHEMA)
+    catalog.ingest_batch("serve", transcripts)
+
+    ids = [r["conv_id"] for r in transcripts.select("conv_id").distinct().limit(3).collect()]
+    got = catalog.get_features("serve", entity_ids=ids).toPandas()
+    assert set(got["conv_id"]) == set(ids) and len(got) == len(ids)
+    exp = latest_per_entity_pd(transcripts.toPandas(), tiebreaks=("turn_idx",))
+    exp = exp[exp["conv_id"].isin(ids)].sort_values("conv_id").reset_index(drop=True)
+    got = got.sort_values("conv_id").reset_index(drop=True)
+    assert (got["turn_idx"].to_numpy() == exp["turn_idx"].to_numpy()).all()
+
+    # as_of cutoff excludes later rows
+    cutoff = exp["ts"].min()
+    got_cut = catalog.get_features("serve", entity_ids=ids, as_of=cutoff).toPandas()
+    assert (pd.to_datetime(got_cut["ts"]) <= cutoff).all()
+
+    # history: inclusive bounds, newest first
+    conv = ids[0]
+    rows = transcripts.where(F.col("conv_id") == conv).toPandas().sort_values("turn_idx")
+    h = catalog.get_feature_history("serve", conv, rows["ts"].min(), rows["ts"].max()).toPandas()
+    assert len(h) == len(rows)  # both endpoints included (C3)
+
+    # spine as-of through the catalog
+    spine = transcripts.where(F.col("conv_id") == conv).select("conv_id", "ts").limit(5)
+    vec = catalog.get_features_at_spine("serve", spine).toPandas()
+    assert len(vec) == 5 and vec["f_turn_idx"].notna().all()
