@@ -297,6 +297,25 @@ def q_nation_rollup(spark, sf_dir):
     )
 
 
+def q_anti_join_entities(spark, sf_dir):
+    """U-family: EXCEPT semantics via left_anti — signups of users who
+    never errored (SURVEY §2.7: absent in reference, built-in in Spark)."""
+    ev = _t(spark, sf_dir, "events")
+    error_users = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        ev.where(F.col("event_type") == "signup")
+        .join(F.broadcast(error_users), "user_id", "left_anti")
+    )
+
+
+def q_intersect_entities(spark, sf_dir):
+    """INTERSECT: users who both clicked and purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
 def q_union_sources(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -415,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "nation_rollup": q_nation_rollup,
         "union_sources": q_union_sources,
+        "anti_join_entities": q_anti_join_entities,
+        "intersect_entities": q_intersect_entities,
         # training-data ops
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -598,6 +619,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, 'clickstream' AS src FROM events WHERE event_type = 'click'
             UNION ALL
             SELECT user_id, event_id, 'errorlog' AS src FROM events WHERE event_type = 'error'
+        """,
+        "anti_join_entities": """
+            SELECT * FROM events
+            WHERE event_type = 'signup'
+              AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+        """,
+        "intersect_entities": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
         "text_stats": _TEXT_STATS_ORACLE,
         "lang_id": _LANG_ORACLE,

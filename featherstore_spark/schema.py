@@ -48,6 +48,44 @@ class SchemaValidationError(ValueError):
     """Raised when an input DataFrame violates the declared contract."""
 
 
+# Arrow-type vocabulary → Spark types (reference type tables:
+# pkg/core/model.go:227-252, pkg/storage/duckdb/duckdb.go:305-339,
+# python/featherstore_client.py:244-267).  Spark has no unsigned ints, so
+# unsigned widens to the next signed size (uint64 → decimal(20,0));
+# timestamps normalize to µs TimestampType regardless of source unit —
+# ns TRUNCATES (the reference instead had a unit-mismatch bug writing
+# UnixNano unconditionally, duckdb.go:882-885; see SURVEY §1.3).
+ARROW_TO_SPARK: dict[str, T.DataType] = {
+    "bool": T.BooleanType(),
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.DecimalType(20, 0),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "timestamp[s]": T.TimestampType(),
+    "timestamp[ms]": T.TimestampType(),
+    "timestamp[us]": T.TimestampType(),
+    "timestamp[ns]": T.TimestampType(),  # ns -> µs truncation, tested
+    "date32": T.DateType(),
+    "date64": T.DateType(),
+}
+
+
+def arrow_to_spark_type(arrow_type_name: str) -> T.DataType:
+    """Reference F4 (type-name lookup, featherstore_client.py:235-272) with
+    the unknown-type fallback-to-string of duckdb.go:337-339."""
+    if arrow_type_name.startswith("list<") and arrow_type_name.endswith(">"):
+        return T.ArrayType(arrow_to_spark_type(arrow_type_name[5:-1].strip()))
+    return ARROW_TO_SPARK.get(arrow_type_name, T.StringType())
+
+
 def validate_transcripts(df: DataFrame) -> DataFrame:
     """Fail fast on schema mismatch, mirroring the reference's ingest-time
     checks (parquet.go:897-918: entity/timestamp name+type equality, no

@@ -72,3 +72,11 @@ def test_semi_join_is_broadcast(spark):
     plan = _plan(df)
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bucketed_asof_plan_shape(spark):
+    df = entry_mod.q_asof_join_bucketed(spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan  # Arrow-vectorized cogroup
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,65 @@
+"""Type-system parity (SURVEY §1.3): Arrow→Spark mapping, unsigned
+widening, and the explicit ns→µs truncation behavior at the ingest
+boundary (the reference had a unit-mismatch bug here, duckdb.go:882-885;
+we pin the correct truncation semantics instead)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import types as T
+
+from featherstore_spark.schema import arrow_to_spark_type
+
+
+def test_type_vocabulary():
+    assert arrow_to_spark_type("int8") == T.ByteType()
+    assert arrow_to_spark_type("uint8") == T.ShortType()
+    assert arrow_to_spark_type("uint32") == T.LongType()
+    assert arrow_to_spark_type("uint64") == T.DecimalType(20, 0)
+    assert arrow_to_spark_type("timestamp[ns]") == T.TimestampType()
+    assert arrow_to_spark_type("list<float32>") == T.ArrayType(T.FloatType())
+    assert arrow_to_spark_type("no_such_type") == T.StringType()  # fallback (duckdb.go:337-339)
+
+
+def test_ns_timestamps_fail_fast_or_truncate(spark, tmp_path):
+    """Spark 4 REJECTS raw ns-parquet (fail-fast beats the reference's
+    silent unit-mismatch bug); the supported ingest path coerces ns→µs via
+    Arrow, truncating sub-µs digits deterministically."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    ns_value = 1_767_225_600_123_456_789  # ...00.123456789
+    table = pa.table(
+        {
+            "conv_id": pa.array(["c"]),
+            "ts": pa.array([ns_value], type=pa.timestamp("ns")),
+        }
+    )
+    raw = str(tmp_path / "ns.parquet")
+    pq.write_table(table, raw)
+    with pytest.raises(AnalysisException, match="NANOS"):
+        spark.read.parquet(raw).collect()
+
+    # ingest-boundary normalization: coerce to µs (truncation, not rounding)
+    coerced = str(tmp_path / "us.parquet")
+    pq.write_table(table, coerced, coerce_timestamps="us", allow_truncated_timestamps=True)
+    row = spark.read.parquet(coerced).collect()[0]
+    assert row["ts"].microsecond == 123456
+
+
+def test_unsigned_parquet_widens(spark, tmp_path):
+    table = pa.table(
+        {
+            "u8": pa.array([255], type=pa.uint8()),
+            "u32": pa.array([4_000_000_000], type=pa.uint32()),
+            "u64": pa.array([2**63 + 10], type=pa.uint64()),
+        }
+    )
+    path = str(tmp_path / "u.parquet")
+    pq.write_table(table, path)
+    df = spark.read.parquet(path)
+    row = df.collect()[0]
+    assert row["u8"] == 255
+    assert row["u32"] == 4_000_000_000
+    assert int(row["u64"]) == 2**63 + 10  # survives via widening
