@@ -361,6 +361,20 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(docs, threshold=0.9)
 
 
+def q_corpus_clean_pipeline(spark, sf_dir):
+    """Composite training-data pipeline: exact-dedup -> quality filter ->
+    per-doc stats (the shape of a C4/Gopher-style cleaning pass)."""
+    from featherstore_spark.functions.text import text_stats
+    from featherstore_spark.operators.dedup import drop_exact_duplicates
+
+    docs = drop_exact_duplicates(_t(spark, sf_dir, "documents"))
+    return (
+        text_stats(docs)
+        .where(F.col("quality_score") >= 0.8)
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+
+
 def q_media_byte_stats(spark, sf_dir):
     from featherstore_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -441,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "media_byte_stats": q_media_byte_stats,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -651,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.tok, b.tok))::DOUBLE /
                   len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
         """,
+        "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "media_byte_stats": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text))::BIGINT AS byte_len,
@@ -758,3 +774,39 @@ def _build_lang_oracle() -> str:
 
 
 _LANG_ORACLE = _build_lang_oracle()
+
+
+_CLEAN_PIPELINE_ORACLE_TEMPLATE = r"""
+    WITH kept AS (
+      SELECT * FROM documents
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM documents
+        GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      )
+    ), stats AS (
+      SELECT doc_id, lang,
+             length(text)::BIGINT AS n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+             len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::BIGINT AS n_punct,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN (__STOPWORDS__)))::BIGINT AS n_stop
+      FROM kept
+    ), q AS (
+      SELECT doc_id, lang, n_tokens,
+             ROUND(
+               0.3 * (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) * 5.0, 1.0))
+             + 0.2 * LEAST((CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) * 10.0, 1.0)
+             + 0.2 * (CASE WHEN n_tokens > 0
+                            AND n_chars::DOUBLE / n_tokens >= 3.0
+                            AND n_chars::DOUBLE / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
+             , 6) AS quality_score
+      FROM stats
+    )
+    SELECT doc_id, lang, n_tokens, quality_score FROM q WHERE quality_score >= 0.8
+"""
+
+_CLEAN_PIPELINE_ORACLE = _CLEAN_PIPELINE_ORACLE_TEMPLATE.replace(
+    "__STOPWORDS__", _stopword_sql_list()
+)

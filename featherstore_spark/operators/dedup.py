@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -154,10 +154,18 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and pair documents sharing any band bucket.
     Shuffle key is (band_idx, hash of the band slice) — small fixed-width
-    rows.  Returns distinct (id_a, id_b) candidates."""
+    rows.  Returns distinct (id_a, id_b) candidates.
+
+    ``max_bucket_size`` (off by default) drops band buckets larger than
+    the cap before pairing: a bucket of s docs emits s^2/2 pairs, so one
+    boilerplate cluster (headers, license text) can dominate the whole
+    join at corpus scale.  Docs in a dropped bucket still pair through
+    their other (bands-1) buckets; truly identical texts should be
+    removed by exact_duplicates FIRST — the standard pipeline order."""
     k = bands * rows_per_band
     banded = signatures.select(
         "id",
@@ -174,6 +182,13 @@ def lsh_candidate_pairs(
             ])
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("__sz", F.count(F.lit(1)).over(w))
+            .where(F.col("__sz") <= max_bucket_size)
+            .drop("__sz")
+        )
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     return (
@@ -192,12 +207,13 @@ def minhash_near_duplicates(
     k: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact-Jaccard verification of candidates only."""
     rows_per_band = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
     toks = with_token_set(df, text_col).select(F.col(id_col).alias("id"), "tok")
     pairs = (
         cands.join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
