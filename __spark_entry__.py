@@ -205,6 +205,23 @@ def q_transition_counts(spark, sf_dir):
     )
 
 
+def q_event_type_pivot(spark, sf_dir):
+    """A3 pivot form: per-user event-type histogram as fixed columns
+    (explicit category list keeps the schema deterministic at any scale —
+    never let pivot() infer categories from data)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
 def q_materialize_pipeline(spark, sf_dir):
     """Full transcript pipeline, oracle-checked end-to-end."""
     from featherstore_spark.plans.materialize import build_feature_log
@@ -440,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_agg": q_sliding_agg,
         "sessionize": q_sessionize,
         "transition_counts": q_transition_counts,
+        "event_type_pivot": q_event_type_pivot,
         "materialize_pipeline": q_materialize_pipeline,
         # joins/aggregates breadth (TPC-H-ish)
         "pricing_summary": q_pricing_summary,
@@ -547,6 +565,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, prev_type || '->' || event_type AS transition, COUNT(*) AS n
             FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+            FROM events GROUP BY user_id
         """,
         "materialize_pipeline": f"""
             WITH t AS ({_TRANSCRIPT_MAP_SQL}),
