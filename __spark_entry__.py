@@ -436,6 +436,13 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_duplicates(docs, max_hamming=3)
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    from featherstore_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb.where(F.col("vec_id") < 5), emb, k=3, n_centroids=16, n_probes=6)
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from featherstore_spark.operators.similarity import lsh_ann_topk
 
@@ -482,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 

@@ -131,3 +131,82 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------------------- IVF --
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: centroids are the ``n_centroids`` corpus vectors
+    with the smallest hash of their id (deterministic, no RNG, no k-means
+    iteration — a coarse quantizer is enough for inverted-list routing);
+    every corpus vector is assigned to its nearest centroid.
+
+    The assignment is one broadcast nested pass: O(N x C) cosine evals,
+    embarrassingly parallel map-side work paid once at index-build time —
+    the standard IVF trade.  Returns (assigned_corpus, centroids)."""
+    cent = (
+        corpus.select(
+            F.col(corpus_id).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid_v"),
+        )
+        .orderBy(F.pmod(F.xxhash64(F.col("centroid_id")), F.lit(1_000_000_007)), "centroid_id")
+        .limit(n_centroids)
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = c.join(F.broadcast(cent), how="cross").withColumn(
+        "sim", _cos("cv", "centroid_v")
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("cid").alias(corpus_id), F.col("cv").alias(vec_col), "centroid_id")
+    )
+    return assigned, cent
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted lists: queries probe their
+    ``n_probes`` nearest centroids and score exactly only within those
+    lists — the scored fraction is ~n_probes/n_centroids of the corpus.
+    The probe join is an equi-join on centroid_id (shuffle-partitioned,
+    skew-splittable by AQE)."""
+    assigned, cent = ivf_assign(corpus, n_centroids, corpus_id, vec_col)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    q_scored = q.join(F.broadcast(cent), how="cross").withColumn("sim", _cos("qv", "centroid_v"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probes)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cands = probes.join(
+        assigned.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"),
+        "centroid_id",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.withColumn("cosine", F.round(_cos("qv", "cv"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -151,3 +151,27 @@ def test_lsh_ann_overlaps_bruteforce(embeddings):
         a = set(approx[approx["query_id"] == q]["neighbor_id"])
         recall_num += len(e & a)
     assert recall_num / 50 >= 0.5, f"ANN recall too low: {recall_num}/50"
+
+
+def test_ivf_ann_recall(embeddings):
+    from featherstore_spark.operators.similarity import ivf_ann_topk
+
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = cosine_topk(queries, embeddings, k=5).toPandas()
+    approx = ivf_ann_topk(queries, embeddings, k=5, n_centroids=8, n_probes=4).toPandas()
+    rec = 0
+    for q in range(10):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        rec += len(e & a)
+    # probing half the lists of a near-random corpus: expect >= ~50% recall
+    assert rec / 50 >= 0.4, f"IVF recall too low: {rec}/50"
+
+
+def test_ivf_assignment_covers_corpus(embeddings):
+    from featherstore_spark.operators.similarity import ivf_assign
+
+    assigned, cent = ivf_assign(embeddings, n_centroids=8)
+    assert cent.count() == 8
+    assert assigned.count() == embeddings.count()
+    assert assigned.where(F.col("centroid_id").isNull()).count() == 0
