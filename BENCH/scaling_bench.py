@@ -103,7 +103,10 @@ def main() -> None:
     _gen_corpus(corpus)
 
     print("raw-CPU calibration ...", flush=True)
-    raw8, raw32 = _raw_cpu(8), _raw_cpu(32)
+    # ceiling = best of 3 repeats per level: the calibration measures the
+    # machine's CAPABILITY, so transient host noise should not deflate it
+    raw8 = max(_raw_cpu(8) for _ in range(3))
+    raw32 = max(_raw_cpu(32) for _ in range(3))
     raw_eff = (raw32 / raw8) / 4
 
     job = _JOB.format(repo=REPO, warmups=WARMUPS, runs=RUNS)

@@ -333,6 +333,16 @@ def q_intersect_entities(spark, sf_dir):
     return clickers.intersect(buyers)
 
 
+def q_rollup_aggregates(spark, sf_dir):
+    """Hierarchical rollup (grouping sets) — subtotals + grand total in one
+    pass; Catalyst expands to a single shuffle with partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_union_sources(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -473,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "nation_rollup": q_nation_rollup,
         "union_sources": q_union_sources,
+        "rollup_aggregates": q_rollup_aggregates,
         "anti_join_entities": q_anti_join_entities,
         "intersect_entities": q_intersect_entities,
         # training-data ops
@@ -664,6 +675,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "rollup_aggregates": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "union_sources": """
             SELECT user_id, event_id, 'clickstream' AS src FROM events WHERE event_type = 'click'
