@@ -419,7 +419,10 @@ def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
     out = cosine_topk(queries_df, emb, k=3)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    # the operator already rounds to 6; NEVER re-round a rounded value —
+    # a second rounding lands on exact decimal half-way points where
+    # engines resolve the binary tie differently
+    return out.select("query_id", "neighbor_id", "cosine")
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -427,7 +430,7 @@ def q_embedding_near_dups(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_duplicates(emb, threshold=0.35)
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    return out.select("id_a", "id_b", "cosine")  # single round-6, see cosine_topk note
 
 
 # ------------------------------------------- non-SQL-expressible (no oracle)
@@ -730,7 +733,7 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               -- rank by the 6-decimal-rounded cosine (the operator's output)
               SELECT q.query_id, e.vec_id AS neighbor_id,
-                     ROUND(ROUND(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6), 4) AS cosine,
+                     ROUND(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine,
                      ROW_NUMBER() OVER (PARTITION BY q.query_id
                        ORDER BY ROUND(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rn
               FROM q JOIN embeddings e ON e.vec_id <> q.query_id
@@ -738,10 +741,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 3
         """,
         "embedding_near_dups": """
-            -- ROUND(ROUND(x,6),4): the operator contract rounds cosine to 6
-            -- decimals; the query rounds that to 4 — replicate both stages.
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
         """,
