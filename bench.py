@@ -99,13 +99,17 @@ def main() -> None:
         # paid per-job on a long-lived cluster), run 2 is steady state.
         out_dir = os.path.join(tmp, "features")
         mat_secs = []
-        for _ in range(3):
+        for i in range(3):
             t0 = time.perf_counter()
             log = build_feature_log(transcripts)
             ordered_output(log, n_buckets=max(2 * cpus, 32)).write.mode("overwrite").partitionBy(
                 "p_bucket"
             ).parquet(out_dir)
             mat_secs.append(time.perf_counter() - t0)
+            # bound total bench time when the host is contended: one
+            # post-warmup run is enough if it already took long
+            if i >= 1 and mat_secs[-1] > 45:
+                break
         # steady state = best of the post-warmup runs (host noise on the
         # shared VM can double any single wall time)
         mat_sec = min(mat_secs[1:])
