@@ -382,10 +382,20 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    from featherstore_spark.operators.dedup import jaccard_pairs
+    """Exact-Jaccard verification fed by MinHash-LSH candidates — the
+    100 TB shape (two equi-joins, no crossJoin; plan asserted in
+    tests/test_plan_quality.py).  The oracle recomputes the identical
+    candidate set in SQL (md5-based minhash, functions/hashing.py)."""
+    from featherstore_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, threshold=0.9)
+    sigs = minhash_signatures(docs, k=32, shingle_n=3)
+    cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    return jaccard_pairs(docs, threshold=0.8, candidates=cands)
 
 
 def q_corpus_clean_pipeline(spark, sf_dir):
@@ -426,14 +436,21 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Cosine near-dups blocked on a single-table LSH sign bucket — the
+    pair space is bounded per bucket (no crossJoin; plan asserted).  The
+    oracle recomputes the identical Rademacher buckets in SQL."""
     from featherstore_spark.operators.dedup import embedding_near_duplicates
+    from featherstore_spark.operators.similarity import lsh_bucket_ids
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_duplicates(emb, threshold=0.35)
+    blocked = lsh_bucket_ids(emb, n_planes=6, n_tables=1, dim=64).withColumn(
+        "blk", F.element_at("bucket", 1)
+    )
+    out = embedding_near_duplicates(blocked, threshold=0.35, block_col="blk")
     return out.select("id_a", "id_b", "cosine")  # single round-6, see cosine_topk note
 
 
-# ------------------------------------------- non-SQL-expressible (no oracle)
+# ------------------- hash-pipeline queries (md5-based => full SQL oracles) --
 
 def q_minhash_near_dups(spark, sf_dir):
     from featherstore_spark.operators.dedup import minhash_near_duplicates
@@ -498,8 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": q_media_byte_stats,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        # scale-path approximations (rows-only check: hash/band internals
-        # are not SQL-expressible)
+        # scale-path approximations — md5-based hashing (functions/
+        # hashing.py) makes the full pipelines recomputable in DuckDB,
+        # so these are value-checked end to end, not rows-only
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -703,29 +721,17 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_ORACLE,
         "lang_id": _LANG_ORACLE,
         "exact_dedup": r"""
-            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+            SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
                    MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1
         """,
-        "jaccard_pairs": r"""
-            WITH t AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(string_split_regex(trim(text), '\s+'),
-                                                  x -> lower(x))) AS tok
-              FROM documents
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   ROUND(len(list_intersect(a.tok, b.tok))::DOUBLE /
-                         len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
-            FROM t a JOIN t b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.tok, b.tok))::DOUBLE /
-                  len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
-        """,
+        "jaccard_pairs": _build_minhash_pairs_oracle(threshold=0.8),
         "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "media_byte_stats": """
+            -- null text pins to '' (matches the engine's coalesce)
             SELECT doc_id AS media_id,
-                   octet_length(encode(text))::BIGINT AS byte_len,
-                   md5(text) AS payload_md5
+                   octet_length(encode(coalesce(text, '')))::BIGINT AS byte_len,
+                   md5(coalesce(text, '')) AS payload_md5
             FROM documents
         """,
         "cosine_topk": """
@@ -740,12 +746,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 3
         """,
-        "embedding_near_dups": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
-        """,
+        "embedding_near_dups": _build_embedding_blocked_oracle(threshold=0.35, n_planes=6),
+        # hash-pipeline twins (md5-based -> fully recomputable in DuckDB)
+        "minhash_near_dups": _build_minhash_pairs_oracle(threshold=0.9),
+        "simhash_near_dups": _build_simhash_oracle(max_hamming=3),
+        "lsh_ann_topk": _build_lsh_ann_oracle(k=3, n_planes=4, n_tables=12),
+        "ivf_ann_topk": _build_ivf_ann_oracle(k=3, n_centroids=16, n_probes=6),
     }
 
 
@@ -772,6 +778,7 @@ def _stopword_sql_list() -> str:
 
 
 _TEXT_STATS_ORACLE_TEMPLATE = r"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     SELECT doc_id,
            (CASE WHEN trim(text) = '' THEN 0
                  ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
@@ -783,7 +790,7 @@ _TEXT_STATS_ORACLE_TEMPLATE = r"""
                 THEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE / length(text)
                 ELSE 0 END, 6) AS punct_ratio,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-    FROM documents
+    FROM d
 """
 
 
@@ -797,7 +804,8 @@ _TEXT_STATS_ORACLE = _build_text_stats_oracle()
 _LANG_ORACLE_TEMPLATE = r"""
     WITH toks AS (
       SELECT doc_id,
-             list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS tok
+             list_transform(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                            x -> lower(x)) AS tok
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -830,10 +838,11 @@ _LANG_ORACLE = _build_lang_oracle()
 
 
 _CLEAN_PIPELINE_ORACLE_TEMPLATE = r"""
-    WITH kept AS (
-      SELECT * FROM documents
+    WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents),
+    kept AS (
+      SELECT * FROM d
       WHERE doc_id IN (
-        SELECT MIN(doc_id) FROM documents
+        SELECT MIN(doc_id) FROM d
         GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
       )
     ), stats AS (
@@ -863,3 +872,242 @@ _CLEAN_PIPELINE_ORACLE_TEMPLATE = r"""
 _CLEAN_PIPELINE_ORACLE = _CLEAN_PIPELINE_ORACLE_TEMPLATE.replace(
     "__STOPWORDS__", _stopword_sql_list()
 )
+
+
+# Hash-pipeline oracles --------------------------------------------------------
+# The minhash/simhash/LSH/IVF operators hash with md5_long60 (functions/
+# hashing.py) and inline all derived constants (universal-hash coefficients,
+# Rademacher plane signs) host-side, so the ENTIRE pipelines are recomputable
+# in DuckDB: these oracles re-derive the same candidates/buckets/signatures
+# and the driver value-hashes the outputs (closes round-1's four `no_oracle`
+# rows).  All SQL below is generated from the same Python constants the Spark
+# operators use — a param drift breaks both sides identically loudly.
+
+# doc_id + lowercased whitespace token list; mirrors functions.text.ws_tokens
+# (trim + split \s+, empty/null text -> []).
+_TOKS_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE list_transform(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                      x -> lower(x)) END AS t
+      FROM documents
+    )
+"""
+
+
+def _build_minhash_pairs_oracle(
+    threshold: float, k: int = 32, bands: int = 8, shingle_n: int = 3, seed: int = 42
+) -> str:
+    """SQL twin of minhash_signatures -> lsh_candidate_pairs ->
+    exact-Jaccard verification (operators/dedup.py)."""
+    from featherstore_spark.functions.hashing import (
+        MERSENNE31,
+        minhash_coeffs,
+        sql_md5_long60,
+    )
+
+    rpb = k // bands
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(shingle_n)).replace("t[i+0]", "t[i]")
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS m{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(k, seed))
+    )
+    band_rows = "\n          UNION ALL\n          ".join(
+        "SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=sql_md5_long60(
+                " || ',' || ".join(f"m{b * rpb + r}::VARCHAR" for r in range(rpb))
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_TOKS_CTE},
+        sh AS (
+          SELECT doc_id,
+                 UNNEST(CASE WHEN len(t) >= {shingle_n}
+                             THEN list_transform(range(1, len(t) - {shingle_n - 2}),
+                                                 i -> {gram})
+                             ELSE [coalesce(array_to_string(t, ' '), '')] END) AS s
+          FROM toks
+        ),
+        h AS (SELECT doc_id, {sql_md5_long60('s')} % {MERSENNE31} AS h FROM sh),
+        sig AS (
+          SELECT doc_id,
+               {mins}
+          FROM h GROUP BY doc_id
+        ),
+        bands AS (
+          {band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_idx, band_hash)
+          WHERE a.doc_id < b.doc_id
+        ),
+        tokset AS (SELECT doc_id, list_distinct(t) AS tok FROM toks),
+        j AS (
+          SELECT id_a, id_b,
+                 ROUND(CASE WHEN len(list_distinct(list_concat(ta.tok, tb.tok))) > 0
+                            THEN len(list_intersect(ta.tok, tb.tok))::DOUBLE
+                                 / len(list_distinct(list_concat(ta.tok, tb.tok)))
+                            ELSE 0.0 END, 6) AS jaccard
+          FROM cand
+          JOIN tokset ta ON ta.doc_id = id_a
+          JOIN tokset tb ON tb.doc_id = id_b
+        )
+        SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+    """
+
+
+def _build_simhash_oracle(max_hamming: int = 3) -> str:
+    """SQL twin of simhash_60 -> pigeonhole-chunk pairing
+    (operators/dedup.py): 60 per-bit majority votes, 4x15-bit chunks."""
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    from featherstore_spark.operators.dedup import SIMHASH_BITS
+
+    csums = ",\n               ".join(
+        f"SUM((h >> {b}) & 1) AS c{b}" for b in range(SIMHASH_BITS)
+    )
+    fp = "\n                 + ".join(
+        f"CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    chunk_rows = "\n          UNION ALL\n          ".join(
+        f"SELECT id, simhash, {c} AS chunk_idx, (simhash >> {c * 15}) & 32767 AS chunk FROM sh"
+        for c in range(4)
+    )
+    return f"""
+        WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, UNNEST(t) AS tk FROM toks),
+        h AS (SELECT doc_id, {sql_md5_long60('tk')} AS h FROM tok),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n,
+               {csums}
+          FROM h GROUP BY doc_id
+        ),
+        sh AS (
+          SELECT d.doc_id AS id,
+                 COALESCE({fp}, 0)::BIGINT AS simhash
+          FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        ),
+        ch AS (
+          {chunk_rows}
+        )
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+        FROM ch a JOIN ch b USING (chunk_idx, chunk)
+        WHERE a.id < b.id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _sql_lsh_bucket(vec_expr: str, n_planes: int, table: int, dim: int = 64, seed: int = 42) -> str:
+    """SQL twin of one table's bucket id in similarity.lsh_bucket_ids:
+    table<<56 + sum of sign bits, each sign from the pinned-order signed
+    sum (hashing.sql_signed_sum == hashing.signed_sum bit-for-bit)."""
+    from featherstore_spark.functions.hashing import rademacher_planes, sql_signed_sum
+
+    parts = [str(table << 56)]
+    for p, signs in enumerate(rademacher_planes(n_planes, dim, table=table, seed=seed)):
+        parts.append(
+            f"+ (CASE WHEN {sql_signed_sum(vec_expr, signs)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + "\n                 ".join(parts) + ")::BIGINT"
+
+
+def _build_lsh_ann_oracle(
+    k: int = 3, n_planes: int = 4, n_tables: int = 12, dim: int = 64, n_queries: int = 5
+) -> str:
+    """SQL twin of similarity.lsh_ann_topk for the contract query
+    (queries = vec_id < n_queries)."""
+    bucket_rows = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, {_sql_lsh_bucket('v', n_planes, t, dim)} AS b FROM c"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (
+          {bucket_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+          FROM cb qa JOIN cb ca USING (b)
+          WHERE qa.vec_id < {n_queries} AND qa.vec_id <> ca.vec_id
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(q.v, n.v), 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, n.v), 6) DESC, neighbor_id) AS rn
+          FROM cand
+          JOIN c q ON q.vec_id = query_id
+          JOIN c n ON n.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rn::INTEGER AS rank
+        FROM scored WHERE rn <= {k}
+    """
+
+
+def _build_ivf_ann_oracle(
+    k: int = 3, n_centroids: int = 16, n_probes: int = 6, n_queries: int = 5
+) -> str:
+    """SQL twin of similarity.ivf_ann_topk: md5-ranked centroid seeds,
+    nearest-centroid assignment and probes by rounded cosine (ties by
+    centroid id), exact scoring within probed lists."""
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    cent_hash = sql_md5_long60("vec_id::VARCHAR")
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+          SELECT vec_id AS centroid_id, v AS centroid_v FROM c
+          ORDER BY {cent_hash} % 1000000007, vec_id
+          LIMIT {n_centroids}
+        ),
+        assigned AS (
+          SELECT vec_id, v, centroid_id FROM (
+            SELECT c.vec_id, c.v, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(c.v, cent.centroid_v), 6) DESC,
+                              cent.centroid_id) AS rn
+            FROM c CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(q.v, cent.centroid_v), 6) DESC,
+                              cent.centroid_id) AS rn
+            FROM c q CROSS JOIN cent WHERE q.vec_id < {n_queries}
+          ) WHERE rn <= {n_probes}
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(qv.v, a.v), 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY ROUND(list_cosine_similarity(qv.v, a.v), 6) DESC, a.vec_id) AS rn
+          FROM probes p
+          JOIN assigned a USING (centroid_id)
+          JOIN c qv ON qv.vec_id = p.query_id
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rn::INTEGER AS rank
+        FROM scored WHERE rn <= {k}
+    """
+
+
+def _build_embedding_blocked_oracle(threshold: float = 0.35, n_planes: int = 6) -> str:
+    """SQL twin of the LSH-blocked embedding_near_duplicates contract
+    query (single Rademacher table => one bucket id per vector)."""
+    bucket = _sql_lsh_bucket("v", n_planes, table=0)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS blk FROM e)
+        SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, x.v), 6) AS cosine
+        FROM b a JOIN b x ON a.blk = x.blk AND a.vec_id < x.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, x.v), 6) >= {threshold}
+    """

@@ -1,0 +1,115 @@
+"""Cross-engine deterministic hashing primitives.
+
+Every hash in this module is reproducible bit-for-bit in ANSI-ish SQL
+(DuckDB), which is what lets the driver *value-check* the MinHash /
+SimHash / LSH / IVF pipelines instead of trusting row counts — and it
+pins signatures to the engine's own definition (md5 + integer
+arithmetic), not to a library implementation detail (``pd.util
+.hash_array``, numpy RNG stream) that silently changes under an upgrade
+and would invalidate every stored signature.
+
+The base primitive is the first 60 bits of md5 as a non-negative int64:
+md5 is byte-identical everywhere (UTF-8 input), and 15 hex chars keep
+the value inside the positive half of int64 so ``%``, ``*``, ``>>`` and
+``&`` behave identically in Spark, DuckDB, and plain Python.  Derived
+hash families (k-wise minhash permutations, Rademacher LSH hyperplanes)
+are generated host-side with :mod:`hashlib` and inlined as literals into
+BOTH the Spark plan and the SQL twin, so neither engine re-derives them.
+
+Reference parity note: featherstore keys features by raw entity values
+(/root/reference/pkg/core/model.go); it has no hashing layer.  This
+module exists for the corpus-dedup/ANN operators that a 100 TB
+training-data pipeline adds on top (SURVEY §2 '+' families).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: universal-hash modulus.  With h < 2^31 and
+# a < 2^31 the product a*h < 2^62 stays inside int64 in every engine.
+MERSENNE31 = (1 << 31) - 1
+
+
+def md5_long60(col: Column | str) -> Column:
+    """First 60 bits (15 hex chars) of md5(col) as a non-negative long.
+
+    Spark: conv(substring(md5(x), 1, 15), 16, 10)::long
+    DuckDB twin: ('0x' || substring(md5(x), 1, 15))::BIGINT
+    Verified byte-identical across engines incl. multibyte UTF-8.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_long60(expr: str) -> str:
+    """DuckDB SQL twin of :func:`md5_long60` for an arbitrary expression."""
+    return f"('0x'||substring(md5({expr}),1,15))::BIGINT"
+
+
+def _host_md5_int(tag: str, nbytes: int = 8) -> int:
+    """Host-side deterministic integer from a string tag (constant
+    generator for coefficients/planes; never computed per-row)."""
+    return int.from_bytes(hashlib.md5(tag.encode("utf-8")).digest()[:nbytes], "big")
+
+
+def minhash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """k pairwise-independent hash coefficients (a, b) for the one-hash
+    minhash construction h_j(x) = (a_j * x + b_j) mod MERSENNE31, with
+    a_j in [1, p-1] and b_j in [0, p-1].  Derived from md5 of a fixed
+    tag — stable across library versions and inlinable into SQL."""
+    out = []
+    for j in range(k):
+        a = (_host_md5_int(f"fs-minhash-a-{seed}-{j}") % (MERSENNE31 - 1)) + 1
+        b = _host_md5_int(f"fs-minhash-b-{seed}-{j}") % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def rademacher_planes(
+    n_planes: int, dim: int, table: int = 0, seed: int = 42
+) -> list[list[int]]:
+    """``n_planes`` random-sign (±1) hyperplanes of dimension ``dim``.
+
+    Rademacher projections are a standard drop-in for Gaussian LSH
+    hyperplanes (same collision-probability guarantees up to constants,
+    Achlioptas 2001), and the ±1 entries make the projection a pure
+    signed sum — exact dyadic arithmetic that both engines evaluate
+    identically when the addition order is fixed."""
+    return [
+        [
+            1 if (_host_md5_int(f"fs-lshplane-{seed}-{table}-{p}-{d}") & 1) == 0 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def signed_sum(vec_col: Column | str, signs: list[int]) -> Column:
+    """Left-associated signed sum  ±v[1] ±v[2] ... ±v[dim]  over an array
+    column (the Rademacher projection), as a fold over zip_with with a
+    ±1.0 literal array.
+
+    Bitwise parity with the SQL twin (``sql_signed_sum``): the fold adds
+    left-to-right exactly like the SQL chain, x*(+1.0)=x and x*(-1.0)=-x
+    are exact in IEEE754, and adding -x equals subtracting x — so both
+    engines emit identical doubles.  A fold (one ~10-node expression) and
+    not an explicit element_at chain: dim-sized chains times n_tables x
+    n_planes overflow janino's 64 KB codegen method limit and stall
+    Catalyst on 3000-node trees.  zip_with children are an attribute and
+    a literal — evaluated once per row (no per-element re-eval trap)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sarr = F.array(*[F.lit(1.0 if s > 0 else -1.0) for s in signs])
+    prods = F.zip_with(c, sarr, lambda x, s: x * s)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sql_signed_sum(vec_expr: str, signs: list[int]) -> str:
+    """DuckDB twin of :func:`signed_sum` (same left-assoc order)."""
+    parts = ["0.0"]
+    for d, s in enumerate(signs):
+        parts.append(f"{'+' if s > 0 else '-'} {vec_expr}[{d + 1}]")
+    return "(" + " ".join(parts) + ")"

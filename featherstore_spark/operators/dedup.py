@@ -20,18 +20,22 @@ These are the corpus-dedup primitives a 100 TB text pipeline needs:
 - embedding_near_dups: cosine-similarity near-dup pairs over an embedding
   column, blocked by a caller-supplied key to bound the pair space.
 
-All randomness is hash-derived (xxhash64 with fixed seeds) — rerunning on
-the same corpus yields byte-identical signatures on any cluster size.
+All randomness is hash-derived (md5 via functions.hashing, fixed seeds) —
+rerunning on the same corpus yields byte-identical signatures on any
+cluster size, signatures survive library upgrades (no pd.util.hash_array
+/ numpy RNG dependence), and every pipeline here has an exact DuckDB SQL
+twin in __spark_entry__.oracle_sql, so the driver value-checks the full
+minhash/simhash outputs, not just row counts.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from featherstore_spark.functions.hashing import MERSENNE31, md5_long60, minhash_coeffs
 from featherstore_spark.functions.text import fingerprint, ws_tokens
 
 
@@ -69,29 +73,44 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     block_col: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard over document pairs (id_a < id_b), optional
-    equality blocking.  This is the *verification* kernel: at corpus scale
-    feed it LSH candidates (lsh_candidate_pairs), where the pair space is
-    already bounded; unblocked it is quadratic and only for small inputs —
-    callers at scale MUST pass candidates or a block column."""
+    """Exact token-set Jaccard over document pairs (id_a < id_b).
+
+    This is the *verification* kernel; the pair space must be bounded:
+    - ``candidates``: an (id_a, id_b) DataFrame (e.g. lsh_candidate_pairs)
+      — the scale path: two equi-joins fetch the token sets, no all-pairs.
+    - ``block_col``: equality blocking on a column (metadata partition,
+      cluster label) — pair space quadratic only within a block.
+    - neither: crossJoin, small inputs only (callers at scale MUST pass
+      one of the above).
+
+    The threshold is applied to the ROUNDED jaccard (round 6) — the same
+    value the operator emits — so SQL oracles never race the rounding."""
     toks = with_token_set(df, text_col).select(
         F.col(id_col).alias("id"), "tok", *([block_col] if block_col else [])
     )
-    left = toks.select(
-        F.col("id").alias("id_a"), F.col("tok").alias("tok_a"),
-        *([F.col(block_col).alias("blk")] if block_col else []),
-    )
-    right = toks.select(
-        F.col("id").alias("id_b"), F.col("tok").alias("tok_b"),
-        *([F.col(block_col).alias("blk")] if block_col else []),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    pairs = (
-        left.join(right, "blk").where(cond)
-        if block_col
-        else left.crossJoin(right).where(cond)
-    )
+    if candidates is not None:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
+            .join(toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
+        )
+    else:
+        left = toks.select(
+            F.col("id").alias("id_a"), F.col("tok").alias("tok_a"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+        )
+        right = toks.select(
+            F.col("id").alias("id_b"), F.col("tok").alias("tok_b"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+        )
+        cond = F.col("id_a") < F.col("id_b")
+        pairs = (
+            left.join(right, "blk").where(cond)
+            if block_col
+            else left.crossJoin(right).where(cond)
+        )
     inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
     union = F.size(F.array_union("tok_a", "tok_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -131,21 +150,30 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """k minhash values per document, as explode -> hash-aggregate with k
-    MIN aggregates: each shingle string is hashed once, the k per-seed
-    values re-mix that 64-bit hash (one-hash minhash construction), and
-    the whole thing runs in whole-stage codegen with map-side partial
-    aggregation (the shuffle carries one k-long row per document).
+    MIN aggregates: each shingle string is md5-hashed once, the k per-seed
+    values re-mix that base hash with universal hashing
+    h_j(x) = (a_j*x + b_j) mod 2^31-1 (one-hash minhash construction,
+    coefficients from functions.hashing.minhash_coeffs), and the whole
+    thing runs in whole-stage codegen with map-side partial aggregation
+    (the shuffle carries one k-long row per document).
 
     Alternatives measured on 5k docs: k array-transforms over the shingle
     array = 19 s (Catalyst inlines the shingle expression k times);
     fold-with-zip_with = 90 s (interpreted higher-order lambdas allocate a
-    k-array per shingle).  This shape: ~3 s."""
+    k-array per shingle).  This shape: ~3 s.
+
+    md5 (not xxhash64) so the signature pipeline is recomputable in
+    DuckDB SQL — the driver value-checks emitted near-dup pairs — and so
+    stored signatures are pinned to the engine, not a library version."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, shingle_n)).alias("__s"),
-    ).select("id", F.xxhash64("__s", F.lit(seed)).alias("__h"))
+    ).select("id", (md5_long60("__s") % MERSENNE31).alias("__h"))
     mins = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64("__h", F.lit(j))).alias(f"__m{j}") for j in range(k)]
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE31).alias(f"__m{j}")
+            for j, (a, b) in enumerate(minhash_coeffs(k, seed))
+        ]
     )
     return mins.select("id", F.array(*[f"__m{j}" for j in range(k)]).alias("sig"))
 
@@ -167,13 +195,15 @@ def lsh_candidate_pairs(
     their other (bands-1) buckets; truly identical texts should be
     removed by exact_duplicates FIRST — the standard pipeline order."""
     k = bands * rows_per_band
+    # band hash = md5_long60 of the comma-joined slice: fixed-width (8 B)
+    # shuffle key AND recomputable in the DuckDB oracle.
     banded = signatures.select(
         "id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    F.xxhash64(F.concat_ws(",", *[
+                    md5_long60(F.concat_ws(",", *[
                         F.element_at("sig", b * rows_per_band + r + 1).cast("string")
                         for r in range(rows_per_band)
                     ])).alias("band_hash"),
@@ -231,41 +261,48 @@ def minhash_near_duplicates(
 
 # --------------------------------------------------------------- simhash --
 
-_SIMHASH_SEED = 0x5EED
+SIMHASH_BITS = 60  # md5_long60 supplies 60 cross-engine-deterministic bits
 
 
-def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens via an Arrow-batched pandas
-    UDF (numpy bit matrix; zero per-row Python).  Output: (id, simhash
-    as signed long)."""
+def simhash_60(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over lowercased whitespace tokens, entirely in
+    whole-stage codegen: explode tokens -> md5_long60 per token -> ONE
+    hash aggregate with 60 per-bit-plane SUM columns (map-side combined;
+    the shuffle carries one 60-long partial row per document) -> majority
+    vote per bit.  Output: (id, simhash as signed long, bits 60..63 = 0).
 
-    @F.pandas_udf(T.LongType())
-    def simhash(texts: pd.Series) -> pd.Series:
-        # Flatten the batch to one token array, hash it in one vectorized
-        # call, then reduce per-document with np.add.reduceat — no
-        # per-token Python in the hash or the bit math.
-        tok_lists = [np.array((t or "").lower().split(), dtype=object) for t in texts]
-        counts = np.array([len(t) for t in tok_lists])
-        out = np.zeros(len(texts), dtype=np.uint64)
-        nonempty = counts > 0
-        if nonempty.any():
-            flat = np.concatenate([t for t in tok_lists if len(t)])
-            hashes = pd.util.hash_array(flat, hash_key="0123456789abcdef").astype(np.uint64)
-            offsets = np.zeros(nonempty.sum(), dtype=np.int64)
-            np.cumsum(counts[nonempty][:-1], out=offsets[1:])
-            doc_len = counts[nonempty]
-            # bit-plane loop: one O(n_tokens) pass per bit keeps peak memory
-            # at one int32 plane (a (n_tokens, 64) ±1 matrix would be
-            # ~0.5 GB per 10k-row Arrow batch)
-            sh = np.zeros(len(doc_len), dtype=np.uint64)
-            for b in range(64):
-                plane = ((hashes >> np.uint64(b)) & np.uint64(1)).astype(np.int32)
-                ones = np.add.reduceat(plane, offsets)
-                sh |= ((2 * ones > doc_len).astype(np.uint64)) << np.uint64(b)
-            out[nonempty] = sh
-        return pd.Series(out.view(np.int64))
+    Token weight = occurrence count (a token appearing twice votes twice),
+    the standard Charikar construction.  Empty documents get simhash 0.
 
-    return df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
+    Engine-owned hashing (md5, not pd.util.hash_array): signatures are
+    stable across pandas/numpy upgrades and the whole pipeline has a
+    value-level DuckDB oracle.  Replaces the round-1 pandas-UDF variant —
+    also faster: no Arrow exchange, no Python workers."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(text_col)).alias("__tok"),
+    ).select("id", md5_long60(F.lower(F.col("__tok"))).alias("__h"))
+    agg = ex.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    fp = reduce(
+        lambda acc, b: acc + F.when(2 * F.col(f"__c{b}") > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    sigs = agg.select("id", fp.alias("simhash"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(sigs, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash")
+    )
+
+
+# Backwards-compatible name from round 1 (the fingerprint is now 60-bit).
+simhash_64 = simhash_60
 
 
 def simhash_near_duplicates(
@@ -275,22 +312,23 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dups = pairs with Hamming distance <= max_hamming between
-    simhashes.  Candidate generation blocks on 16-bit chunks (pigeonhole:
-    any pair within distance 3 shares at least one of 4 chunks)."""
-    sigs = simhash_64(df, id_col, text_col)
+    simhashes.  Candidate generation blocks on 15-bit chunks (pigeonhole:
+    any pair within distance 3 shares at least one of 4 chunks) — a plain
+    equi-join on (chunk_idx, chunk), no all-pairs."""
+    sigs = simhash_60(df, id_col, text_col)
     chunks = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("chunk_idx"),
-                F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                F.shiftrightunsigned("simhash", c * 15).bitwiseAND(F.lit(0x7FFF)).alias("chunk"),
             )
             for c in range(4)
         ])).alias("ch"),
     ).select("id", "simhash", "ch.chunk_idx", "ch.chunk")
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (
         a.join(b, ["chunk_idx", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))

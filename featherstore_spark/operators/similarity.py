@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers:
+Three tiers:
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Queries are broadcast (they are the small side by construction); the
   corpus streams through one projection + per-query top-k window.  At 100
@@ -11,18 +11,27 @@ Two tiers:
   by sign-pattern; exact scoring happens only within matching buckets
   (multi-probe over ``n_tables`` independent tables).  Approximate, scales
   to corpora where even one full scan per query batch is too much.
+- ``ivf_ann_topk``: inverted lists around a deterministic coarse quantizer;
+  queries probe their nearest lists only.
 
-Hyperplanes are hash-derived (fixed seed) — no RNG state, identical
-buckets on any cluster.
+All randomness is md5-derived via functions.hashing (Rademacher ±1
+hyperplanes, md5-ranked centroid seeds) — no RNG state, identical indexes
+on any cluster size AND recomputable in DuckDB SQL, so the driver value-
+checks the ANN outputs (CORRECTNESS gate), not just row counts.  Ranking
+ties always break on the 6-decimal-rounded cosine then neighbor id, so
+the output is engine-independent.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from featherstore_spark.functions.hashing import (
+    md5_long60,
+    rademacher_planes,
+    signed_sum,
+)
 
 
 def _cos(v_a: str, v_b: str) -> F.Column:
@@ -60,13 +69,6 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    """Deterministic pseudo-random unit hyperplanes (hash-seeded PCG)."""
-    rng = np.random.default_rng(seed)
-    h = rng.standard_normal((n_planes, dim))
-    return h / np.linalg.norm(h, axis=1, keepdims=True)
-
-
 def lsh_bucket_ids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -77,21 +79,20 @@ def lsh_bucket_ids(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Adds an array of ``n_tables`` sign-pattern bucket ids (one per LSH
-    table) via a vectorized pandas UDF (one matmul per Arrow batch)."""
-    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bucketize(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())  # (batch, dim)
-        buckets = []
-        for t, h in enumerate(planes):
-            signs = (m @ h.T) > 0  # (batch, n_planes)
-            ids = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-            # table index in the high bits so buckets never collide across tables
-            buckets.append((ids | (np.uint64(t) << np.uint64(56))).view(np.int64))
-        return pd.Series(np.stack(buckets, axis=1).tolist())
-
-    return df.withColumn(out_col, bucketize(F.col(vec_col).cast("array<double>")))
+    table).  Hyperplanes are Rademacher ±1 (hashing.rademacher_planes), so
+    each projection is a pure signed sum of vector elements — whole-stage
+    codegen, no Python, and bitwise reproducible in the SQL oracle (the
+    addition order is pinned by hashing.signed_sum).  Table index sits in
+    the high bits so buckets never collide across tables."""
+    v = F.col(vec_col).cast("array<double>")
+    buckets = []
+    for t in range(n_tables):
+        planes = rademacher_planes(n_planes, dim, table=t, seed=seed)
+        bucket = F.lit(t << 56).cast("long")
+        for p, signs in enumerate(planes):
+            bucket = bucket + F.when(signed_sum(v, signs) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        buckets.append(bucket)
+    return df.withColumn(out_col, F.array(*buckets))
 
 
 def lsh_ann_topk(
@@ -106,23 +107,31 @@ def lsh_ann_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: score only (query, corpus) pairs sharing an LSH
-    bucket in any table.  The join is a plain equi-join on bucket id —
-    shuffle-partitioned, AQE-skew-splittable, no broadcast of the corpus."""
-    qb = lsh_bucket_ids(queries, vec_col, n_planes, n_tables, dim).select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        F.explode("bucket").alias("b"),
+    bucket in any table.  The bucket join and the candidate de-dup carry
+    only (id, bucket) rows — 16 bytes — and the vectors are fetched back
+    by two equi-joins afterwards, so no array ever rides through the
+    distinct shuffle.  No broadcast of the corpus; AQE-skew-splittable."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    cb = lsh_bucket_ids(corpus, vec_col, n_planes, n_tables, dim).select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-        F.explode("bucket").alias("b"),
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
-    scored = (
+    qb = lsh_bucket_ids(q, "qv", n_planes, n_tables, dim).select(
+        "query_id", F.explode("bucket").alias("b")
+    )
+    cb = lsh_bucket_ids(c, "cv", n_planes, n_tables, dim).select(
+        "neighbor_id", F.explode("bucket").alias("b")
+    )
+    cands = (
         qb.join(cb, "b")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
         .withColumn("cosine", F.round(_cos("qv", "cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -143,9 +152,11 @@ def ivf_assign(
     seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: centroids are the ``n_centroids`` corpus vectors
-    with the smallest hash of their id (deterministic, no RNG, no k-means
-    iteration — a coarse quantizer is enough for inverted-list routing);
-    every corpus vector is assigned to its nearest centroid.
+    with the smallest md5-derived hash of their id (deterministic, no RNG,
+    no k-means iteration — a coarse quantizer is enough for inverted-list
+    routing); every corpus vector is assigned to its nearest centroid by
+    rounded cosine (round 6; ties break by centroid id — engine-
+    independent ordering).
 
     The assignment is one broadcast nested pass: O(N x C) cosine evals,
     embarrassingly parallel map-side work paid once at index-build time —
@@ -155,14 +166,17 @@ def ivf_assign(
             F.col(corpus_id).alias("centroid_id"),
             F.col(vec_col).cast("array<double>").alias("centroid_v"),
         )
-        .orderBy(F.pmod(F.xxhash64(F.col("centroid_id")), F.lit(1_000_000_007)), "centroid_id")
+        .orderBy(
+            md5_long60(F.col("centroid_id").cast("string")) % F.lit(1_000_000_007),
+            "centroid_id",
+        )
         .limit(n_centroids)
     )
     c = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     scored = c.join(F.broadcast(cent), how="cross").withColumn(
-        "sim", _cos("cv", "centroid_v")
+        "sim", F.round(_cos("cv", "centroid_v"), 6)
     )
     w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     assigned = (
@@ -192,7 +206,9 @@ def ivf_ann_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    q_scored = q.join(F.broadcast(cent), how="cross").withColumn("sim", _cos("qv", "centroid_v"))
+    q_scored = q.join(F.broadcast(cent), how="cross").withColumn(
+        "sim", F.round(_cos("qv", "centroid_v"), 6)
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
