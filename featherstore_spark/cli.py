@@ -84,14 +84,12 @@ def main(argv: list[str] | None = None) -> int:
     }
     if args.spine is None:
         if not args.resume:
-            # clean run: discard any prior manifest so nothing is skipped
-            import os
+            # clean run: discard prior manifest AND data — dynamic
+            # overwrite only replaces buckets present in this run, so a
+            # leftover bucket from an older input would otherwise survive
+            from featherstore_spark.plans.checkpoint import clear_stale_output
 
-            from featherstore_spark.plans.checkpoint import MANIFEST
-
-            manifest_path = os.path.join(args.output, MANIFEST)
-            if os.path.exists(manifest_path):
-                os.remove(manifest_path)
+            clear_stale_output(args.output)
         metrics = run_with_checkpoint(
             transcripts,
             args.output,
@@ -112,7 +110,14 @@ def main(argv: list[str] | None = None) -> int:
     out = out.withColumn(
         "p_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(args.n_buckets)).cast("int")
     )
-    out.write.mode("overwrite").partitionBy("p_bucket").parquet(args.output)
+    # full (non-resumable) write: STATIC overwrite on purpose — replace the
+    # whole table, so no bucket from a previous, larger run can survive
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("p_bucket")
+        .parquet(args.output)
+    )
     print(json.dumps({"output": args.output, "rows": spark.read.parquet(args.output).count()}))
     return 0
 

@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Below this many ids we inline an IN-list (pushed down to the scan);
 # above it we broadcast-semi-join, like reference J4 at scale.
@@ -45,7 +46,11 @@ def filter_entities(
     if len(ids) <= _IN_LIST_MAX:
         return df.where(F.col(entity_col).isin(ids))
     spark = df.sparkSession
-    spine = spark.createDataFrame([(i,) for i in ids], f"{entity_col} string")
+    # spine inherits the entity column's ACTUAL dtype — a hardcoded string
+    # schema would make the semi-join long==string, forcing an implicit
+    # cast that blocks pushdown (and risks coercion error on big ids)
+    spine_schema = T.StructType([df.schema[entity_col]])
+    spine = spark.createDataFrame([(i,) for i in ids], spine_schema)
     return df.join(F.broadcast(spine), entity_col, "left_semi")
 
 

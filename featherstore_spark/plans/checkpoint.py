@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame
@@ -56,12 +57,18 @@ class CheckpointManifest:
         self.path = os.path.join(output_path, MANIFEST)
         self.lineage = lineage
         self.state: dict = {"lineage": lineage, "buckets": {}}
+        # True when a prior manifest exists with DIFFERENT lineage: the
+        # caller must also clear the prior DATA (see clear_stale_output) —
+        # dynamic overwrite only replaces buckets present in the new run,
+        # so a bucket the new input doesn't populate would keep stale rows.
+        self.lineage_changed = False
         if os.path.exists(self.path):
             with open(self.path) as fh:
                 prior = json.load(fh)
             if prior.get("lineage") == lineage:
                 self.state = prior
-            # else: lineage changed → start clean (stale manifest ignored)
+            else:
+                self.lineage_changed = True
 
     def done_buckets(self) -> set[int]:
         return {int(b) for b, m in self.state["buckets"].items() if m.get("status") == "done"}
@@ -91,6 +98,19 @@ class CheckpointManifest:
         os.replace(tmp, self.path)
 
 
+def clear_stale_output(output_path: str) -> None:
+    """Remove every prior data partition under ``output_path`` (manifest
+    included).  Required on lineage change and on non-resume clean runs:
+    dynamic overwrite replaces only buckets present in the NEW run, so a
+    bucket the new input doesn't populate would silently keep rows from
+    the previous lineage — exactly the stale-feature serving this module
+    exists to prevent.  Driver-side local-FS delete (shutil); an object-
+    store/HDFS deployment swaps in the corresponding FS client, still
+    O(partitions), no data movement."""
+    if os.path.isdir(output_path):
+        shutil.rmtree(output_path)
+
+
 def run_with_checkpoint(
     transcripts: DataFrame,
     output_path: str,
@@ -106,11 +126,19 @@ def run_with_checkpoint(
     metrics.  Killing this anywhere and re-calling resumes: finished
     buckets are filtered out of the INPUT (scan-level prune) and dynamic
     partition overwrite replaces only freshly computed buckets.
+
+    Safety invariants (each has a test in tests/test_checkpoint.py):
+    - overwrite mode is set on the WRITER, so resume is partition-scoped
+      even on a SparkSession without partitionOverwriteMode=dynamic;
+    - a lineage change clears prior data, not just the manifest — no
+      bucket can survive from an older input/params combination.
     """
     from featherstore_spark.plans.materialize import build_feature_log
 
     pipeline = pipeline or build_feature_log
     manifest = CheckpointManifest(output_path, lineage)
+    if manifest.lineage_changed:
+        clear_stale_output(output_path)
     done = manifest.done_buckets()
 
     b = bucket_col(entity_col, n_buckets)
@@ -123,7 +151,12 @@ def run_with_checkpoint(
 
     out = pipeline(pending_input.drop("p_bucket")).withColumn("p_bucket", b)
     out = out.sortWithinPartitions(entity_col, "turn_idx") if "turn_idx" in out.columns else out
-    out.write.mode("overwrite").partitionBy("p_bucket").parquet(output_path)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_bucket")
+        .parquet(output_path)
+    )
 
     written = out.sparkSession.read.parquet(output_path).where(
         ~F.col("p_bucket").isin(sorted(done)) if done else F.lit(True)

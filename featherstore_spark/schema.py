@@ -75,15 +75,57 @@ ARROW_TO_SPARK: dict[str, T.DataType] = {
     "timestamp[ns]": T.TimestampType(),  # ns -> µs truncation, tested
     "date32": T.DateType(),
     "date64": T.DateType(),
+    # time-of-day (reference maps Arrow Time32→DuckDB TIME,
+    # duckdb.go:335-336,1001-1002); Spark has no TIME type, so the engine
+    # stores microseconds-since-midnight as a long (SURVEY §1.3)
+    "time32[s]": T.LongType(),
+    "time32[ms]": T.LongType(),
+    "time64[us]": T.LongType(),
+    "time64[ns]": T.LongType(),
 }
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0 (nested type params)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
 
 
 def arrow_to_spark_type(arrow_type_name: str) -> T.DataType:
     """Reference F4 (type-name lookup, featherstore_client.py:235-272) with
-    the unknown-type fallback-to-string of duckdb.go:337-339."""
-    if arrow_type_name.startswith("list<") and arrow_type_name.endswith(">"):
-        return T.ArrayType(arrow_to_spark_type(arrow_type_name[5:-1].strip()))
-    return ARROW_TO_SPARK.get(arrow_type_name, T.StringType())
+    the unknown-type fallback-to-string of duckdb.go:337-339.  Nested
+    Arrow types (list/map/struct) parse recursively — the reference's DDL
+    mapping covers their names only (duckdb.go:1005-1008); Spark supports
+    all three natively."""
+    name = arrow_type_name.strip()
+    if name.startswith("list<") and name.endswith(">"):
+        return T.ArrayType(arrow_to_spark_type(name[5:-1]))
+    if name.startswith("map<") and name.endswith(">"):
+        kv = _split_top_level(name[4:-1])
+        if len(kv) == 2:
+            return T.MapType(arrow_to_spark_type(kv[0]), arrow_to_spark_type(kv[1]))
+        return T.StringType()
+    if name.startswith("struct<") and name.endswith(">"):
+        fields = []
+        for part in _split_top_level(name[7:-1]):
+            fname, _, ftype = part.partition(":")
+            if not ftype:
+                return T.StringType()
+            fields.append(T.StructField(fname.strip(), arrow_to_spark_type(ftype)))
+        return T.StructType(fields)
+    return ARROW_TO_SPARK.get(name, T.StringType())
 
 
 def validate_transcripts(df: DataFrame) -> DataFrame:

@@ -60,8 +60,18 @@ def write_partitioned(
 ) -> None:
     """Dynamic-partition-overwrite write: only the partitions present in
     ``df`` are replaced (exactly-once resume semantics; the Iceberg
-    equivalent is ``overwritePartitions``)."""
-    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    equivalent is ``overwritePartitions``).
+
+    The overwrite mode is set PER-WRITER, not inherited from the session:
+    a caller on a vanilla SparkSession (foreign spark-submit conf,
+    notebook) would otherwise get STATIC overwrite — which deletes every
+    existing partition, including checkpointed-done buckets."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

@@ -108,3 +108,80 @@ def test_get_features_serving_parity(catalog, transcripts, spark):
     spine = transcripts.where(F.col("conv_id") == conv).select("conv_id", "ts").limit(5)
     vec = catalog.get_features_at_spine("serve", spine).toPandas()
     assert len(vec) == 5 and vec["f_turn_idx"].notna().all()
+
+
+def test_feature_metadata_roundtrip(catalog):
+    fs = catalog.create_feature_set(
+        "with_meta", TRANSCRIPT_SCHEMA,
+        feature_meta={
+            "text": {"description": "raw turn text", "tags": {"pii": "true"}},
+            "tool": {"description": "tool name when role=tool"},
+        },
+    )
+    assert fs.schema["text"].metadata["description"] == "raw turn text"
+    # survives the metadata.json round-trip
+    feats = {f["name"]: f for f in catalog.describe_features("with_meta")}
+    assert feats["text"]["description"] == "raw turn text"
+    assert feats["text"]["tags"] == {"pii": "true"}
+    assert feats["tool"]["description"] == "tool name when role=tool"
+    assert feats["role"]["description"] == ""  # unannotated feature
+    assert "conv_id" not in feats and "ts" not in feats  # key cols excluded
+    with pytest.raises(SchemaValidationError):
+        catalog.create_feature_set(
+            "bad_meta", TRANSCRIPT_SCHEMA, feature_meta={"nope": {"description": "x"}}
+        )
+
+
+def test_ingest_scans_input_once(catalog, transcripts, spark):
+    """The observe()-based audit means ingest reads the batch exactly once
+    (VERDICT r1: count()+write+count() tripled the 100 TB read).  A row-
+    counting UDF on the input counts total evaluations across the job."""
+    from pyspark.sql import types as T
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(s):
+        acc.add(1)
+        return s
+
+    tick_udf = F.udf(tick, T.StringType())
+    catalog.create_feature_set("once", TRANSCRIPT_SCHEMA)
+    batch = transcripts.withColumn("text", tick_udf(F.col("text")))
+    n = catalog.ingest_batch("once", batch)
+    assert n == transcripts.count()
+    assert acc.value == n, f"input evaluated {acc.value} times for {n} rows"
+
+
+def test_rejected_ingest_publishes_nothing(catalog, transcripts, spark):
+    """Null-ts batches are audited in-flight and dropped at staging: the
+    data dir must stay empty (write-audit-publish)."""
+    import os
+
+    catalog.create_feature_set("atomic", TRANSCRIPT_SCHEMA)
+    bad = transcripts.withColumn(
+        "ts", F.when(F.col("turn_idx") == 0, None).otherwise(F.col("ts"))
+    )
+    with pytest.raises(SchemaValidationError):
+        catalog.ingest_batch("atomic", bad)
+    data_dir = os.path.join(catalog.root, "atomic", "data")
+    published = []
+    for dirpath, _dirs, files in os.walk(data_dir):
+        published += [f for f in files if not f.startswith(("_", "."))]
+    assert published == []
+    # and no staging leftovers
+    leftovers = [d for d in os.listdir(os.path.join(catalog.root, "atomic")) if d.startswith("_staging")]
+    assert leftovers == []
+
+
+def test_filter_entities_large_id_list_keeps_dtype(spark):
+    """>IN-list-max id lists semi-join with the entity column's ACTUAL
+    dtype — a string-typed spine against a long entity would force an
+    implicit cast that blocks pushdown (ADVICE r1)."""
+    from featherstore_spark.operators.latest import filter_entities
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "user_id")
+    ids = list(range(0, 3000, 2))  # 1500 ids -> spine path
+    out = filter_entities(df, ids, "user_id")
+    assert out.schema["user_id"].dataType.simpleString() == "bigint"
+    assert "cast(" not in out._jdf.queryExecution().executedPlan().toString().lower()
+    assert out.count() == 1500

@@ -73,6 +73,55 @@ def test_lineage_change_discards_manifest(spark, transcripts, tmp_path):
     run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
     m = CheckpointManifest(out, {"input": "DIFFERENT", "params": {}})
     assert m.done_buckets() == set()
+    assert m.lineage_changed
+
+
+def test_resume_on_vanilla_session_preserves_done_buckets(spark, transcripts, tmp_path):
+    """Resume must be partition-scoped even when the SESSION overwrite
+    mode is static (vanilla spark-submit conf / notebook session): the
+    writer sets partitionOverwriteMode=dynamic itself.  Regression test
+    for the round-1 data-loss footgun (VERDICT r1, ADVICE r1)."""
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    complete = _read_manifest(out)
+
+    # crash simulation: half the buckets lose their 'done' mark
+    crashed = dict(complete)
+    crashed["buckets"] = dict(list(complete["buckets"].items())[:4])
+    with open(os.path.join(out, MANIFEST), "w") as fh:
+        json.dump(crashed, fh)
+
+    prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
+
+    final = _read_manifest(out)
+    # the 4 done buckets were neither deleted nor recomputed
+    for b, v in crashed["buckets"].items():
+        assert final["buckets"][b]["completed_at"] == v["completed_at"]
+    back = spark.read.parquet(out)
+    assert back.count() == transcripts.count()
+
+
+def test_lineage_change_clears_stale_data(spark, transcripts, tmp_path):
+    """A re-run with different lineage over an input that populates FEWER
+    buckets must not serve rows left over from the old lineage (dynamic
+    overwrite alone would keep unpopulated buckets; ADVICE r1)."""
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+
+    one_conv = transcripts.where(
+        F.col("conv_id") == transcripts.select("conv_id").first()[0]
+    )
+    new_lineage = {"input": "filtered-corpus", "params": LINEAGE["params"]}
+    m = run_with_checkpoint(one_conv, out, new_lineage, n_buckets=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == one_conv.count() == m["total_rows"]
+    assert back.select("conv_id").distinct().count() == 1
 
 
 def test_bucket_assignment_covers_all_rows(spark, transcripts, tmp_path):

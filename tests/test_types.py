@@ -63,3 +63,37 @@ def test_unsigned_parquet_widens(spark, tmp_path):
     assert row["u8"] == 255
     assert row["u32"] == 4_000_000_000
     assert int(row["u64"]) == 2**63 + 10  # survives via widening
+
+
+def test_time_types_map_to_micros_long():
+    """Arrow time32/time64 -> LongType µs-since-midnight (SURVEY §1.3;
+    reference maps Time32 to DuckDB TIME, duckdb.go:335-336,1001-1002 —
+    Spark has no TIME type, so the engine stores long micros)."""
+    from pyspark.sql import types as T
+
+    from featherstore_spark.schema import arrow_to_spark_type
+
+    for name in ("time32[s]", "time32[ms]", "time64[us]", "time64[ns]"):
+        assert arrow_to_spark_type(name) == T.LongType(), name
+
+
+def test_nested_type_parsing():
+    """map<...>/struct<...> parse recursively (reference has DDL name
+    mapping only, duckdb.go:1005-1008; Spark supports both natively)."""
+    from pyspark.sql import types as T
+
+    from featherstore_spark.schema import arrow_to_spark_type
+
+    assert arrow_to_spark_type("map<string, int64>") == T.MapType(T.StringType(), T.LongType())
+    assert arrow_to_spark_type("struct<a: int64, b: string>") == T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+    ])
+    assert arrow_to_spark_type("list<struct<x: float64, tags: map<string, string>>>") == T.ArrayType(
+        T.StructType([
+            T.StructField("x", T.DoubleType()),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        ])
+    )
+    # unknown names still fall back to string (duckdb.go:337-339)
+    assert arrow_to_spark_type("decimal256(76, 2)") == T.StringType()
