@@ -61,23 +61,68 @@ _TRANSCRIPT_MAP_SQL = """
 """
 
 
+# Shared SQL twin of plans.materialize.build_feature_log over the
+# transcript-mapped events — used by BOTH the materialize_pipeline and the
+# materialize_with_spine oracles so the two can never drift apart.
+_FEATLOG_CTES = f"""
+            t AS ({_TRANSCRIPT_MAP_SQL}),
+            feat0 AS (
+              SELECT conv_id, turn_idx, role, ts,
+                     LAG(role) OVER w AS prev_role,
+                     LEAD(role) OVER w AS next_role,
+                     ROUND((epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1e6, 6) AS gap_s,
+                     LENGTH(COALESCE(text, '')) AS text_len,
+                     CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS is_tool_call,
+                     COUNT(*) OVER cum AS cum_turns,
+                     (SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER cum)::BIGINT AS cum_tool_calls,
+                     COUNT(*) OVER r AS w_turns,
+                     (SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER r)::BIGINT AS w_tool_calls,
+                     CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+                     cum AS (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     r AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+            ),
+            featlog AS (
+              SELECT conv_id, turn_idx, role, ts, prev_role, next_role, gap_s,
+                     text_len, is_tool_call, cum_turns, cum_tool_calls,
+                     w_turns, w_tool_calls,
+                     ROUND(w_tool_calls::DOUBLE / w_turns, 6) AS w_tool_rate,
+                     (SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+              FROM feat0
+            )
+"""
+
+
 # --------------------------------------------------------------- entry ----
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full per-turn feature materialization (lag/lead + trailing
-    windows + sessionization) over sf0.001 events mapped to transcripts."""
-    from featherstore_spark.plans.materialize import build_feature_log
+    """Flagship: the full engine end to end — per-turn feature log
+    (lag/lead + trailing windows + sessionization) AS-OF JOINED onto an
+    entity spine (every assistant turn = one query point), returning
+    point-in-time feature vectors (f_*) — the engine's reason to exist
+    (north rule J3).  Oracle-gated as ``materialize_with_spine``."""
+    return _materialize_with_spine(spark, SF0001)
 
-    t = _events_as_transcripts(_t(spark, SF0001, "events"))
-    log = build_feature_log(t, trailing="10 minutes", session_gap="30 minutes")
-    return log.select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts",
-        "prev_role", "next_role",
-        F.round("gap_s", 6).alias("gap_s"),
-        "text_len", "is_tool_call", "cum_turns", "cum_tool_calls",
-        "w_turns", "w_tool_calls",
-        F.round("w_tool_rate", 6).alias("w_tool_rate"),
-        "session_id",
+
+def _materialize_with_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from featherstore_spark.plans.materialize import materialize
+
+    t = _events_as_transcripts(_t(spark, sf_dir, "events"))
+    spine = t.where(F.col("role") == "assistant").select("conv_id", "ts").distinct()
+    out = materialize(t, spine, trailing="10 minutes", session_gap="30 minutes")
+    return out.select(
+        "conv_id", "ts", "f_ts", "f_turn_idx",
+        "f_prev_role", "f_next_role",
+        F.round("f_gap_s", 6).alias("f_gap_s"),
+        "f_text_len", "f_is_tool_call", "f_cum_turns", "f_cum_tool_calls",
+        "f_w_turns", "f_w_tool_calls",
+        F.round("f_w_tool_rate", 6).alias("f_w_tool_rate"),
+        "f_session_id",
     )
 
 
@@ -236,6 +281,13 @@ def q_materialize_pipeline(spark, sf_dir):
         F.round("w_tool_rate", 6).alias("w_tool_rate"),
         "session_id",
     )
+
+
+def q_materialize_with_spine(spark, sf_dir):
+    """Flagship shape: feature log as-of joined to an entity spine —
+    point-in-time vectors at every assistant turn (north rule J3 + the
+    leakage guarantee, oracle-checked end to end)."""
+    return _materialize_with_spine(spark, sf_dir)
 
 
 # ------------------------------------------------------------ TPC-H core --
@@ -496,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts": q_transition_counts,
         "event_type_pivot": q_event_type_pivot,
         "materialize_pipeline": q_materialize_pipeline,
+        "materialize_with_spine": q_materialize_with_spine,
         # joins/aggregates breadth (TPC-H-ish)
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -615,39 +668,36 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
             FROM events GROUP BY user_id
         """,
-        "materialize_pipeline": f"""
-            WITH t AS ({_TRANSCRIPT_MAP_SQL}),
-            feat AS (
-              SELECT conv_id, turn_idx, role,
-                     LAG(role) OVER w AS prev_role,
-                     LEAD(role) OVER w AS next_role,
-                     ROUND((epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1e6, 6) AS gap_s,
-                     LENGTH(COALESCE(text, '')) AS text_len,
-                     CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS is_tool_call,
-                     COUNT(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_turns,
-                     SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER (
-                       PARTITION BY conv_id ORDER BY turn_idx
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tool_calls_raw,
-                     COUNT(*) OVER r AS w_turns,
-                     (SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER r)::BIGINT AS w_tool_calls,
-                     CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
-                          THEN 1 ELSE 0 END AS new_sess,
-                     ts
-              FROM t
-              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
-                     r AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
-                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
-            )
+        "materialize_pipeline": """
+            WITH __FEATLOG__
             SELECT conv_id, turn_idx, role, prev_role, next_role, gap_s,
-                   text_len, is_tool_call, cum_turns,
-                   cum_tool_calls_raw::BIGINT AS cum_tool_calls,
-                   w_turns, w_tool_calls,
-                   ROUND(w_tool_calls::DOUBLE / w_turns, 6) AS w_tool_rate,
-                   (SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
-            FROM feat
-        """,
+                   text_len, is_tool_call, cum_turns, cum_tool_calls,
+                   w_turns, w_tool_calls, w_tool_rate, session_id
+            FROM featlog
+        """.replace("__FEATLOG__", _FEATLOG_CTES),
+        "materialize_with_spine": """
+            WITH __FEATLOG__,
+            spine AS (SELECT DISTINCT conv_id, ts FROM t WHERE role = 'assistant'),
+            j AS (
+              SELECT s.conv_id, s.ts,
+                     f.ts AS f_ts, f.turn_idx AS f_turn_idx,
+                     f.prev_role AS f_prev_role, f.next_role AS f_next_role,
+                     f.gap_s AS f_gap_s, f.text_len AS f_text_len,
+                     f.is_tool_call AS f_is_tool_call, f.cum_turns AS f_cum_turns,
+                     f.cum_tool_calls AS f_cum_tool_calls, f.w_turns AS f_w_turns,
+                     f.w_tool_calls AS f_w_tool_calls, f.w_tool_rate AS f_w_tool_rate,
+                     f.session_id AS f_session_id,
+                     ROW_NUMBER() OVER (PARTITION BY s.conv_id, s.ts
+                       ORDER BY f.ts DESC, f.turn_idx DESC) AS rn
+              FROM spine s LEFT JOIN featlog f
+                ON f.conv_id = s.conv_id AND f.ts <= s.ts
+            )
+            SELECT conv_id, ts, f_ts, f_turn_idx, f_prev_role, f_next_role,
+                   f_gap_s, f_text_len, f_is_tool_call, f_cum_turns,
+                   f_cum_tool_calls, f_w_turns, f_w_tool_calls,
+                   f_w_tool_rate, f_session_id
+            FROM j WHERE rn = 1
+        """.replace("__FEATLOG__", _FEATLOG_CTES),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
