@@ -175,3 +175,22 @@ def test_ivf_assignment_covers_corpus(embeddings):
     assert cent.count() == 8
     assert assigned.count() == embeddings.count()
     assert assigned.where(F.col("centroid_id").isNull()).count() == 0
+
+
+def test_signature_golden_values(spark):
+    """Signatures are pinned to the ENGINE's definition (md5 + integer
+    arithmetic), not to a library implementation: these literals were
+    computed by an independent pure-hashlib reference and must survive
+    any pandas/numpy/pyspark upgrade (VERDICT r1: pd.util.hash_array
+    would have silently invalidated stored signatures)."""
+    from featherstore_spark.operators.dedup import minhash_signatures, simhash_60
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown Fox jumps over the lazy dog the end")],
+        "doc_id long, text string",
+    )
+    sh = simhash_60(df).collect()[0]["simhash"]
+    assert sh == 71287694538872428
+
+    sig = minhash_signatures(df, k=8).collect()[0]["sig"]
+    assert sig == [46329238, 83851493, 173926594, 82087, 275068113, 48456895, 76601343, 221952358]
