@@ -778,10 +778,11 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _build_minhash_pairs_oracle(threshold=0.8),
         "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "media_byte_stats": """
-            -- null text pins to '' (matches the engine's coalesce)
+            -- engine null semantics: null payload -> byte_len 0, md5 NULL
+            -- (multimodal.decode_media)
             SELECT doc_id AS media_id,
                    octet_length(encode(coalesce(text, '')))::BIGINT AS byte_len,
-                   md5(coalesce(text, '')) AS payload_md5
+                   md5(text) AS payload_md5
             FROM documents
         """,
         "cosine_topk": """

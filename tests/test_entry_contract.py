@@ -97,3 +97,40 @@ def test_no_oracle_queries_run(spark, name):
 def test_entry_smoke(spark):
     out = entry_mod.entry(spark)
     assert out.count() > 0
+
+
+NULL_TEXT_QUERIES = [
+    "media_byte_stats", "exact_dedup", "text_stats", "lang_id",
+    "corpus_clean_pipeline", "minhash_near_dups", "simhash_near_dups",
+    "jaccard_pairs",
+]
+
+
+@pytest.mark.parametrize("name", NULL_TEXT_QUERIES)
+def test_null_and_empty_text_semantics_match_oracle(spark, tmp_path, name):
+    """The driver corpus has no null/empty text, so engine-vs-oracle NULL
+    semantics (ADVICE r1) are pinned here on a hand-built corpus with
+    NULL, empty, whitespace-only, and duplicate-of-empty documents."""
+    rows = [
+        (1, "hello world the cat", "en", "a", 19),
+        (2, None, "en", "a", 0),
+        (3, "", "de", "b", 0),
+        (4, "   ", "fr", "b", 3),
+        (5, "hello world the cat", "en", "b", 19),  # dup of 1
+    ]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # snappy: the session default (lz4 frame) is unreadable by DuckDB
+    sdf.coalesce(1).write.mode("overwrite").option("compression", "snappy").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    got = QUERIES[name](spark, str(tmp_path)).toPandas()
+    exp = con.execute(ORACLES[name]).fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert canonical_rows(got) == canonical_rows(exp), f"null-text mismatch for {name}"
