@@ -58,7 +58,11 @@ HEADLINE = [
     "media_byte_stats",
 ]
 
-BENCH_TURNS = int(os.environ.get("FS_BENCH_TURNS", "2000000"))
+# 8M turns: sized so per-run compute (>=12 s at 4 cores) dominates the
+# ~2-3 s fixed driver/planning/commit overhead — at 2M that fixed cost
+# capped apparent 4->16 scaling at ~0.6 even though the distributed part
+# scales at ~0.94 (measured 2026-08-16).
+BENCH_TURNS = int(os.environ.get("FS_BENCH_TURNS", "8000000"))
 MAT_WARMUPS = int(os.environ.get("FS_MAT_WARMUPS", "2"))
 MAT_RUNS = int(os.environ.get("FS_MAT_RUNS", "5"))
 # bound measurement time when the host is contended (driver timeout safety)
@@ -88,35 +92,47 @@ def materialize_job(spark, transcripts, out_dir: str, cores: int) -> None:
     )
 
 
-# Runs in a FRESH JVM: fixed 24g heap + G1GC, shuffle = 4x cores; emits
-# one JSON line with per-run wall times and loadavg samples.
+# Runs in a FRESH JVM: fixed heap + G1GC, shuffle = 4x cores.  Warmups
+# run the SAME corpus: AQE re-plans per runtime statistics, so a warmup
+# on a smaller corpus compiles DIFFERENT codegen classes and the first
+# measured run would still execute at interpreter/C1 speed (measured
+# 70-190 s vs 14-20 s steady at 8M turns).  Emits one JSON line with
+# per-run wall times and loadavg samples.
 _MAT_JOB = """
 import json, os, sys, time, shutil
 sys.path.insert(0, {repo!r})
 from featherstore_spark.session import get_spark
 from bench import materialize_job
 
-cores = int(sys.argv[1]); corpus = sys.argv[2]; out = sys.argv[3]
-extra = {{"spark.driver.memory": "24g",
-          "spark.driver.extraJavaOptions": "-XX:+UseG1GC",
+cores = int(sys.argv[1]); corpus = sys.argv[2]; out = sys.argv[3]; heap = sys.argv[4]
+jvm_extra = os.environ.get("FS_JVM_EXTRA", "")
+extra = {{"spark.driver.memory": heap,
+          "spark.driver.extraJavaOptions": ("-XX:+UseG1GC " + jvm_extra).strip(),
+          "spark.ui.enabled": "false",
           "spark.local.dir": out + "_local"}}
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=4 * cores,
                   extra_conf=extra, app_name=f"materialize_bench_{{cores}}")
 spark.sparkContext.setLogLevel("ERROR")
 t = spark.read.parquet(corpus)
 n = t.count()
+warm_secs = []
+for i in range({warmups}):
+    t0 = time.perf_counter()
+    materialize_job(spark, t, out, cores)
+    warm_secs.append(time.perf_counter() - t0)
 secs, loads = [], [round(os.getloadavg()[0], 1)]
 t_start = time.perf_counter()
-for i in range({warmups} + {runs}):
+for i in range({runs}):
     t0 = time.perf_counter()
     materialize_job(spark, t, out, cores)
     secs.append(time.perf_counter() - t0)
     loads.append(round(os.getloadavg()[0], 1))
-    if i >= {warmups} and time.perf_counter() - t_start > {cap}:
+    if time.perf_counter() - t_start > {cap}:
         break
 shutil.rmtree(out, ignore_errors=True)
 shutil.rmtree(out + "_local", ignore_errors=True)
-print(json.dumps({{"cores": cores, "n_turns": n, "secs": secs, "loadavg": loads}}))
+print(json.dumps({{"cores": cores, "n_turns": n, "warm_secs": warm_secs,
+                   "secs": secs, "loadavg": loads}}))
 spark.stop()
 """
 
@@ -128,34 +144,93 @@ def run_materialize_level(
     warmups: int = MAT_WARMUPS,
     runs: int = MAT_RUNS,
     cap_s: float = MAT_TIME_CAP_S,
+    heap: str = "24g",
 ) -> dict:
     """One parallelism level of the shared protocol, in a fresh JVM.
-    Returns {cores, n_turns, secs (all runs), loadavg} plus derived
-    median/throughput over the post-warmup runs."""
+    Returns {cores, n_turns, warmup/measured secs, loadavg} plus derived
+    median/best/throughput over the measured runs.  ``best`` estimates
+    the uncontended wall time (external host bursts only ever inflate)."""
     job = _MAT_JOB.format(repo=REPO, warmups=warmups, runs=runs, cap=cap_s)
     res = subprocess.run(
-        [sys.executable, "-c", job, str(cores), corpus, out_dir],
+        [sys.executable, "-c", job, str(cores), corpus, out_dir, heap],
         check=True, capture_output=True, text=True, cwd=REPO,
     )
     r = json.loads(res.stdout.strip().splitlines()[-1])
-    measured = r["secs"][warmups:]
+    measured = r.pop("secs")
     med = statistics.median(measured)
     r.update(
         {
-            "warmup_secs": [round(s, 2) for s in r.pop("secs")[:warmups]],
+            "warmup_secs": [round(s, 2) for s in r.pop("warm_secs")],
             "measured_secs": [round(s, 2) for s in measured],
             "seconds": round(med, 3),
+            "best_seconds": round(min(measured), 3),
             "turns_per_sec": round(r["n_turns"] / med, 1),
+            "best_turns_per_sec": round(r["n_turns"] / min(measured), 1),
             "protocol": {
                 "warmups": warmups,
-                "aggregate": "median",
+                "aggregate": "median (+ best as uncontended estimate)",
                 "shuffle_partitions": 4 * cores,
-                "jvm": "fresh, 24g G1GC",
+                "jvm": f"fresh, {heap} G1GC",
                 "storage": "tmpfs" if corpus.startswith("/dev/shm") else "disk",
             },
         }
     )
     return r
+
+
+def run_executor_emulation(
+    corpus_quarters: list[str],
+    workdir: str,
+    cores_per_executor: int = 4,
+    warmups: int = MAT_WARMUPS,
+    runs: int = MAT_RUNS,
+) -> dict:
+    """4N-executor emulation: one fresh JVM per 'executor', run
+    CONCURRENTLY over hash-disjoint corpus quarters (conversations are
+    independent; a cluster assigns partitions to executors exactly like
+    this).  A real 4x-executor cluster multiplies JVMs — not threads in
+    one JVM, whose shared GC/allocator measured ~0.57 apparent efficiency
+    on this box vs ~0.70 for separate JVMs.  Each executor is pinned to a
+    disjoint vCPU range (taskset) with a matching ActiveProcessorCount so
+    JVMs size their GC/compiler pools for their slice, not the whole box
+    — unpinned runs showed 1.3-1.5x straggler noise from scheduler
+    placement.  Per-round wall = max across executors (the straggler
+    defines cluster wall time)."""
+    job = _MAT_JOB.format(repo=REPO, warmups=warmups, runs=runs, cap=900)
+    n_exec = len(corpus_quarters)
+    n_cpus = os.cpu_count() or 32
+    cpus_per_exec = max(cores_per_executor, n_cpus // n_exec)
+    have_taskset = shutil.which("taskset") is not None
+    procs = []
+    for i, q in enumerate(corpus_quarters):
+        cmd = [sys.executable, "-c", job, str(cores_per_executor), q,
+               os.path.join(workdir, f"emul_out{i}"), "12g"]
+        if have_taskset:
+            lo = i * cpus_per_exec
+            cmd = ["taskset", "-c", f"{lo}-{lo + cpus_per_exec - 1}"] + cmd
+        env = dict(os.environ)
+        env["FS_JVM_EXTRA"] = f"-XX:ActiveProcessorCount={cpus_per_exec}"
+        procs.append(
+            subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                             text=True, cwd=REPO, env=env)
+        )
+    outs = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
+    n_total = sum(o["n_turns"] for o in outs)
+    n_rounds = min(len(o["secs"]) for o in outs)
+    round_walls = [max(o["secs"][i] for o in outs) for i in range(n_rounds)]
+    med = statistics.median(round_walls)
+    best = min(round_walls)
+    return {
+        "executors": len(outs),
+        "cores_per_executor": cores_per_executor,
+        "n_turns": n_total,
+        "per_executor_measured": [[round(s, 2) for s in o["secs"]] for o in outs],
+        "round_walls": [round(s, 2) for s in round_walls],
+        "seconds": round(med, 3),
+        "best_seconds": round(best, 3),
+        "turns_per_sec": round(n_total / med, 1),
+        "best_turns_per_sec": round(n_total / best, 1),
+    }
 
 
 def generate_bench_corpus(spark, path: str, n_turns: int = BENCH_TURNS) -> None:
@@ -165,6 +240,24 @@ def generate_bench_corpus(spark, path: str, n_turns: int = BENCH_TURNS) -> None:
     generate_transcripts(
         spark, n_convs=max(1, n_turns // mean_turns), mean_turns=mean_turns, seed=42
     ).write.mode("overwrite").parquet(path)
+
+
+def generate_scaling_inputs(spark, workdir: str) -> tuple[str, list[str]]:
+    """(full corpus, 4 hash-disjoint conversation quarters) under
+    ``workdir`` — the quarters feed the executor emulation."""
+    from pyspark.sql import functions as F
+
+    corpus = os.path.join(workdir, "transcripts")
+    generate_bench_corpus(spark, corpus, BENCH_TURNS)
+    qdir = os.path.join(workdir, "quarters")
+    (
+        spark.read.parquet(corpus)
+        .withColumn("q", F.pmod(F.xxhash64("conv_id"), F.lit(4)))
+        .write.mode("overwrite")
+        .partitionBy("q")
+        .parquet(qdir)
+    )
+    return corpus, [os.path.join(qdir, f"q={q}") for q in range(4)]
 
 
 def main() -> None:

@@ -14,9 +14,9 @@ These are the corpus-dedup primitives a 100 TB text pipeline needs:
   all-pairs blowup; AQE skew-split handles hot buckets (boilerplate text).
 - jaccard_pairs: exact token-set Jaccard for candidate verification (or,
   at small scale / with blocking, as a standalone exact near-dup pass).
-- simhash: 64-bit similarity fingerprint via a vectorized pandas UDF
-  (numpy bit-twiddling; per-bit column expressions would be 64x codegen
-  bloat for no gain).
+- simhash: 60-bit similarity fingerprint as one whole-stage-codegen hash
+  aggregate (60 per-bit-plane SUMs with map-side combine) + 15-bit
+  pigeonhole chunk pairing.
 - embedding_near_dups: cosine-similarity near-dup pairs over an embedding
   column, blocked by a caller-supplied key to bound the pair space.
 
@@ -278,9 +278,13 @@ def simhash_60(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     stable across pandas/numpy upgrades and the whole pipeline has a
     value-level DuckDB oracle.  Replaces the round-1 pandas-UDF variant —
     also faster: no Arrow exchange, no Python workers."""
+    # explode_OUTER keeps empty documents as one null-token row: its null
+    # hash makes every per-bit SUM null, the majority-vote WHEN is then
+    # null -> otherwise(0), so empty docs get simhash 0 in the same single
+    # aggregate — no second scan, no id-preserving join (one shuffle total).
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(ws_tokens(text_col)).alias("__tok"),
+        F.explode_outer(ws_tokens(text_col)).alias("__tok"),
     ).select("id", md5_long60(F.lower(F.col("__tok"))).alias("__h"))
     agg = ex.groupBy("id").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -294,11 +298,7 @@ def simhash_60(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         range(SIMHASH_BITS),
         F.lit(0).cast("long"),
     )
-    sigs = agg.select("id", fp.alias("simhash"))
-    ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(sigs, "id", "left").select(
-        "id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash")
-    )
+    return agg.select("id", fp.cast("long").alias("simhash"))
 
 
 # Backwards-compatible name from round 1 (the fingerprint is now 60-bit).

@@ -84,6 +84,74 @@ def streaming_sessions(
     )
 
 
+def streaming_cumulative_features(
+    stream: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-conversation running counters (cum_turns, cum_tool_calls — the
+    same cumulative features batch ``turn_features`` computes with an
+    unbounded-preceding window) maintained in per-key GroupState across
+    micro-batches.
+
+    This is the pattern for operators Spark's windowed streaming
+    aggregates cannot express (running per-row state emitted per input
+    row).  State per key is two longs — O(active conversations) in the
+    state store, not O(turns).  Assumes per-conversation event-time
+    ordered arrival (turn_idx order within and across micro-batches), the
+    standard contract for transcript tailing; out-of-order backfills go
+    through the batch checkpoint path instead (plans/checkpoint.py).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(entity_col, T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField("cum_turns", T.LongType()),
+            T.StructField("cum_tool_calls", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cum_turns", T.LongType()),
+            T.StructField("cum_tool_calls", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        turns, tools = state.get if state.exists else (0, 0)
+        # reset_index after the sort: DataFrame construction aligns Series
+        # by index, so sorted Series + positional arrays would interleave
+        pdf = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .sort_values("turn_idx")
+            .reset_index(drop=True)
+        )
+        is_tool = pdf["tool"].notna().astype("int64")
+        out = pd.DataFrame(
+            {
+                entity_col: pdf[entity_col],
+                "turn_idx": pdf["turn_idx"],
+                ts_col: pdf[ts_col],
+                "cum_turns": turns + np.arange(1, len(pdf) + 1, dtype="int64"),
+                "cum_tool_calls": tools + is_tool.cumsum(),
+            }
+        )
+        state.update((turns + len(pdf), tools + int(is_tool.sum())))
+        yield out
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_table(out_df: DataFrame, target_dir: str, checkpoint_dir: str):
     """availableNow trigger: process the whole backlog then stop — the
     streaming analogue of a batch backfill, restartable from the stream

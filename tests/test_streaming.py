@@ -64,3 +64,51 @@ def test_streaming_sessions_match_batch_counts(spark, transcript_dir):
     g = got.groupby("conv_id").agg(n_sessions=("n_turns", "size"), turns=("n_turns", "sum"))
     e = exp.groupby("conv_id").agg(n_sessions=("n_turns", "size"), turns=("n_turns", "sum"))
     assert g.sort_index().equals(e.sort_index())
+
+
+def test_stateful_cumulative_features_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running counters persist in
+    the state store ACROSS micro-batches and query restarts — the second
+    half of every conversation arrives in a later query run against the
+    same checkpoint, and the cumulative features must equal the batch
+    turn_features computation over the full corpus."""
+    from featherstore_spark.datagen import generate_transcripts
+    from featherstore_spark.operators.windows import turn_features
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_cumulative_features,
+    )
+
+    full = generate_transcripts(spark, n_convs=12, mean_turns=15, seed=7).cache()
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    full.where(F.col("turn_idx") < 7).coalesce(1).write.parquet(src)
+    from featherstore_spark.streaming.stream import read_transcript_stream
+
+    q = run_stream_to_table(
+        streaming_cumulative_features(read_transcript_stream(spark, src)), out, ckpt
+    )
+    q.awaitTermination(120)
+
+    # the rest of every conversation arrives later; NEW query, SAME checkpoint
+    full.where(F.col("turn_idx") >= 7).coalesce(1).write.mode("append").parquet(src)
+    q2 = run_stream_to_table(
+        streaming_cumulative_features(read_transcript_stream(spark, src)), out, ckpt
+    )
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "cum_turns", "cum_tool_calls")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    exp = (
+        turn_features(full)
+        .select("conv_id", "turn_idx", "cum_turns", "cum_tool_calls")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert len(got) == len(exp) == full.count()
+    assert (got["cum_turns"].to_numpy() == exp["cum_turns"].to_numpy()).all()
+    assert (got["cum_tool_calls"].to_numpy() == exp["cum_tool_calls"].to_numpy()).all()

@@ -194,3 +194,18 @@ def test_signature_golden_values(spark):
 
     sig = minhash_signatures(df, k=8).collect()[0]["sig"]
     assert sig == [46329238, 83851493, 173926594, 82087, 275068113, 48456895, 76601343, 221952358]
+
+
+def test_simhash_empty_and_null_docs_are_zero(spark):
+    """explode_outer path: docs with no tokens keep a row and vote to 0
+    (null hash -> null bit-sums -> otherwise(0)) — no id-join needed."""
+    from featherstore_spark.operators.dedup import simhash_60
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real tokens here")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["simhash"] for r in simhash_60(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2] == got[3] == 0
+    assert got[4] != 0
