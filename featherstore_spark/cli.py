@@ -67,8 +67,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # materialize
-    from pyspark.sql import functions as F
-
     from featherstore_spark.operators.asof import asof_join
     from featherstore_spark.plans.checkpoint import run_with_checkpoint
     from featherstore_spark.plans.materialize import FEATURE_COLS, build_feature_log
@@ -76,20 +74,23 @@ def main(argv: list[str] | None = None) -> int:
     transcripts = spark.read.parquet(args.input)
     lineage = {
         "input": args.input,
+        "spine": args.spine,
         "params": {
             "trailing": args.trailing,
             "session_gap": args.session_gap,
             "n_buckets": args.n_buckets,
+            "asof_strategy": args.asof_strategy,
         },
     }
-    if args.spine is None:
-        if not args.resume:
-            # clean run: discard prior manifest AND data — dynamic
-            # overwrite only replaces buckets present in this run, so a
-            # leftover bucket from an older input would otherwise survive
-            from featherstore_spark.plans.checkpoint import clear_stale_output
+    if not args.resume:
+        # clean run: discard prior manifest AND data — dynamic overwrite
+        # only replaces buckets present in this run, so a leftover bucket
+        # from an older input would otherwise survive
+        from featherstore_spark.plans.checkpoint import clear_stale_output
 
-            clear_stale_output(args.output)
+        clear_stale_output(args.output)
+
+    if args.spine is None:
         metrics = run_with_checkpoint(
             transcripts,
             args.output,
@@ -100,25 +101,27 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output": args.output, **metrics}))
         return 0
 
+    # spine path: point-in-time vectors, checkpointed per bucket exactly
+    # like the feature log (both sides bucket-filtered on resume)
     spine = spark.read.parquet(args.spine)
-    log = build_feature_log(transcripts, args.trailing, args.session_gap)
-    feats = log.select("conv_id", "ts", "turn_idx", *FEATURE_COLS)
-    out = asof_join(
-        spine, feats, on="conv_id", ts="ts", tiebreaks=("turn_idx",),
-        strategy=args.asof_strategy, bucket=args.asof_bucket,
+
+    def pit_pipeline(t, s):
+        log = build_feature_log(t, args.trailing, args.session_gap)
+        feats = log.select("conv_id", "ts", "turn_idx", *FEATURE_COLS)
+        return asof_join(
+            s, feats, on="conv_id", ts="ts", tiebreaks=("turn_idx",),
+            strategy=args.asof_strategy, bucket=args.asof_bucket,
+        )
+
+    metrics = run_with_checkpoint(
+        transcripts,
+        args.output,
+        lineage,
+        n_buckets=args.n_buckets,
+        pipeline=pit_pipeline,
+        spine=spine,
     )
-    out = out.withColumn(
-        "p_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(args.n_buckets)).cast("int")
-    )
-    # full (non-resumable) write: STATIC overwrite on purpose — replace the
-    # whole table, so no bucket from a previous, larger run can survive
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("p_bucket")
-        .parquet(args.output)
-    )
-    print(json.dumps({"output": args.output, "rows": spark.read.parquet(args.output).count()}))
+    print(json.dumps({"output": args.output, **metrics}))
     return 0
 
 

@@ -118,24 +118,32 @@ def run_with_checkpoint(
     n_buckets: int = 16,
     entity_col: str = "conv_id",
     pipeline=None,
+    spine: DataFrame | None = None,
 ) -> dict:
-    """Materialize ``pipeline(transcripts)`` to ``output_path`` partitioned
-    by entity bucket, skipping buckets the manifest already marks done.
+    """Materialize ``pipeline(transcripts)`` (or, with ``spine``,
+    ``pipeline(transcripts, spine)`` — default: point-in-time vectors at
+    every spine row) to ``output_path`` partitioned by entity bucket,
+    skipping buckets the manifest already marks done.
 
-    ``pipeline`` defaults to the full feature-log build.  Returns manifest
-    metrics.  Killing this anywhere and re-calling resumes: finished
-    buckets are filtered out of the INPUT (scan-level prune) and dynamic
-    partition overwrite replaces only freshly computed buckets.
+    Returns manifest metrics.  Killing this anywhere and re-calling
+    resumes: finished buckets are filtered out of BOTH inputs before any
+    heavy work (the bucket is a pure function of the entity key, so the
+    filter reaches both scans) and dynamic partition overwrite replaces
+    only freshly computed buckets.
 
     Safety invariants (each has a test in tests/test_checkpoint.py):
     - overwrite mode is set on the WRITER, so resume is partition-scoped
       even on a SparkSession without partitionOverwriteMode=dynamic;
     - a lineage change clears prior data, not just the manifest — no
-      bucket can survive from an older input/params combination.
+      bucket can survive from an older input/params combination;
+    - with a spine, BOTH sides are bucket-filtered: an unfiltered spine
+      would emit all-null feature rows into buckets whose transcripts
+      were pruned, silently overwriting completed partitions.
     """
-    from featherstore_spark.plans.materialize import build_feature_log
+    from featherstore_spark.plans.materialize import build_feature_log, materialize
 
-    pipeline = pipeline or build_feature_log
+    if pipeline is None:
+        pipeline = build_feature_log if spine is None else materialize
     manifest = CheckpointManifest(output_path, lineage)
     if manifest.lineage_changed:
         clear_stale_output(output_path)
@@ -149,8 +157,17 @@ def run_with_checkpoint(
     if pending_input.isEmpty():
         return manifest.metrics()
 
-    out = pipeline(pending_input.drop("p_bucket")).withColumn("p_bucket", b)
-    out = out.sortWithinPartitions(entity_col, "turn_idx") if "turn_idx" in out.columns else out
+    if spine is None:
+        result = pipeline(pending_input.drop("p_bucket"))
+    else:
+        pending_spine = spine.withColumn("p_bucket", b)
+        if done:
+            pending_spine = pending_spine.where(~F.col("p_bucket").isin(sorted(done)))
+        result = pipeline(pending_input.drop("p_bucket"), pending_spine.drop("p_bucket"))
+
+    out = result.withColumn("p_bucket", b)
+    sort_key = "turn_idx" if "turn_idx" in out.columns else "ts"
+    out = out.sortWithinPartitions(entity_col, sort_key) if sort_key in out.columns else out
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

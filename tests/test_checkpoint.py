@@ -131,3 +131,41 @@ def test_bucket_assignment_covers_all_rows(spark, transcripts, tmp_path):
     assert back.count() == transcripts.count()
     assert back.select("p_bucket").distinct().count() <= 8
     assert back.where(F.col("p_bucket").isNull()).count() == 0
+
+
+def test_spine_materialization_kill_resume(spark, transcripts, tmp_path):
+    """The north-rule job — point-in-time vectors at spine rows — resumes
+    per bucket like the feature log, with BOTH sides bucket-filtered (an
+    unfiltered spine would write all-null f_* rows into done buckets)."""
+    out = str(tmp_path / "pit")
+    spine = (
+        transcripts.where(F.col("role") == "assistant")
+        .select("conv_id", "ts")
+        .distinct()
+    )
+    lineage = {"input": "unit-corpus-seed42", "spine": "assistant-turns", "params": {}}
+
+    full = run_with_checkpoint(transcripts, out, lineage, n_buckets=8, spine=spine)
+    expected = spark.read.parquet(out).orderBy("conv_id", "ts").toPandas()
+    complete = _read_manifest(out)
+    assert full["total_rows"] == spine.count() == len(expected)
+    assert "f_cum_turns" in expected.columns  # point-in-time vectors, not the log
+    assert expected["f_ts"].notna().all()  # every spine point is itself a turn
+
+    # crash: half the buckets lose their done mark
+    crashed = dict(complete)
+    crashed["buckets"] = dict(list(complete["buckets"].items())[:4])
+    with open(os.path.join(out, MANIFEST), "w") as fh:
+        json.dump(crashed, fh)
+
+    m = run_with_checkpoint(transcripts, out, lineage, n_buckets=8, spine=spine)
+    resumed = spark.read.parquet(out).orderBy("conv_id", "ts").toPandas()
+    final = _read_manifest(out)
+    assert m["total_rows"] == full["total_rows"]
+    assert (resumed["f_cum_turns"].to_numpy() == expected["f_cum_turns"].to_numpy()).all()
+    assert (resumed["f_session_id"].to_numpy() == expected["f_session_id"].to_numpy()).all()
+    # surviving buckets untouched; recomputed buckets deterministic
+    for bkt, v in crashed["buckets"].items():
+        assert final["buckets"][bkt]["completed_at"] == v["completed_at"]
+    for bkt, v in complete["buckets"].items():
+        assert final["buckets"][bkt]["content_hash"] == v["content_hash"]
