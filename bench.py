@@ -220,6 +220,13 @@ def run_executor_emulation(
     round_walls = [max(o["secs"][i] for o in outs) for i in range(n_rounds)]
     med = statistics.median(round_walls)
     best = min(round_walls)
+    # steady wall: max over executors of each executor's MEDIAN round —
+    # the straggler's typical time.  Round-max medians couple every
+    # executor's noise into every round (one executor's external-load
+    # burst poisons the whole round); executors on a real cluster run
+    # independent task streams, so the steady straggler is the honest
+    # sustained wall.
+    steady = max(statistics.median(o["secs"]) for o in outs)
     return {
         "executors": len(outs),
         "cores_per_executor": cores_per_executor,
@@ -228,8 +235,10 @@ def run_executor_emulation(
         "round_walls": [round(s, 2) for s in round_walls],
         "seconds": round(med, 3),
         "best_seconds": round(best, 3),
+        "steady_seconds": round(steady, 3),
         "turns_per_sec": round(n_total / med, 1),
         "best_turns_per_sec": round(n_total / best, 1),
+        "steady_turns_per_sec": round(n_total / steady, 1),
     }
 
 
