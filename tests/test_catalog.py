@@ -185,3 +185,37 @@ def test_filter_entities_large_id_list_keeps_dtype(spark):
     assert out.schema["user_id"].dataType.simpleString() == "bigint"
     assert "cast(" not in out._jdf.queryExecution().executedPlan().toString().lower()
     assert out.count() == 1500
+
+
+def test_duckdb_sink_roundtrip(spark, transcripts, tmp_path):
+    """S6 parity: features export into the reference's native backend —
+    distributed snappy-parquet write, one DuckDB read_parquet ingest, no
+    driver-side rows.  Values round-trip exactly (count + checksum)."""
+    import duckdb
+
+    from featherstore_spark.operators.latest import latest_per_entity
+    from featherstore_spark.sources.duckdb_sink import write_duckdb
+
+    feats = latest_per_entity(transcripts).select("conv_id", "ts", "turn_idx", "role")
+    db = str(tmp_path / "serve.duckdb")
+    n = write_duckdb(feats, db, "latest_features")
+    assert n == feats.count()
+
+    con = duckdb.connect(db)
+    got = con.execute(
+        "SELECT count(*), sum(turn_idx), count(DISTINCT conv_id) FROM latest_features"
+    ).fetchone()
+    exp = feats.groupBy().agg(
+        F.count(F.lit(1)), F.sum("turn_idx"), F.countDistinct("conv_id")
+    ).collect()[0]
+    assert tuple(got) == tuple(exp)
+
+    # append mode adds rows; overwrite replaces
+    n2 = write_duckdb(feats, db, "latest_features", mode="append")
+    assert n2 == n
+    assert con.execute("SELECT count(*) FROM latest_features").fetchone()[0] == 2 * n
+    con.close()
+    write_duckdb(feats, db, "latest_features", mode="overwrite")
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM latest_features").fetchone()[0] == n
+    con.close()
