@@ -39,6 +39,14 @@ def _build_parser() -> argparse.ArgumentParser:
     m.add_argument("--asof-bucket", default="1 day")
     m.add_argument("--n-buckets", type=int, default=64)
     m.add_argument("--resume", action="store_true", help="skip buckets already checkpointed")
+    m.add_argument("--verify", action="store_true",
+                   help="audit mode: read the written partitions back and cross-check "
+                        "row counts + content hashes against the in-job observed stats")
+    m.add_argument("--format", choices=["parquet", "iceberg"], default=None,
+                   help="output format (default: auto-detect Iceberg extensions)")
+    m.add_argument("--manifest-dir", default=None,
+                   help="manifest directory (required with --format iceberg, where "
+                        "--output is a table identifier)")
 
     g = sub.add_parser("generate", help="generate a synthetic transcript corpus")
     g.add_argument("--output", required=True)
@@ -82,21 +90,35 @@ def main(argv: list[str] | None = None) -> int:
             "asof_strategy": args.asof_strategy,
         },
     }
+    ckpt_kwargs = {
+        "n_buckets": args.n_buckets,
+        "verify": args.verify,
+        "output_format": args.format,
+        "manifest_dir": args.manifest_dir,
+    }
     if not args.resume:
         # clean run: discard prior manifest AND data — dynamic overwrite
         # only replaces buckets present in this run, so a leftover bucket
-        # from an older input would otherwise survive
-        from featherstore_spark.plans.checkpoint import clear_stale_output
+        # from an older input would otherwise survive.  clear_stale_output
+        # refuses directories this engine did not write (ADVICE r2).
+        if args.format == "iceberg":
+            spark.sql(f"DROP TABLE IF EXISTS {args.output}")
+            if args.manifest_dir:
+                import shutil
 
-        clear_stale_output(args.output)
+                shutil.rmtree(args.manifest_dir, ignore_errors=True)
+        else:
+            from featherstore_spark.plans.checkpoint import clear_stale_output
+
+            clear_stale_output(args.output)
 
     if args.spine is None:
         metrics = run_with_checkpoint(
             transcripts,
             args.output,
             lineage,
-            n_buckets=args.n_buckets,
             pipeline=lambda t: build_feature_log(t, args.trailing, args.session_gap),
+            **ckpt_kwargs,
         )
         print(json.dumps({"output": args.output, **metrics}))
         return 0
@@ -117,9 +139,9 @@ def main(argv: list[str] | None = None) -> int:
         transcripts,
         args.output,
         lineage,
-        n_buckets=args.n_buckets,
         pipeline=pit_pipeline,
         spine=spine,
+        **ckpt_kwargs,
     )
     print(json.dumps({"output": args.output, **metrics}))
     return 0

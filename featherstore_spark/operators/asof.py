@@ -55,6 +55,56 @@ def _output_schema(spine: DataFrame, features: DataFrame, on: str, ts: str, pref
     return T.StructType(fields)
 
 
+#: Candidate bucket widths for ``bucket="auto"`` (µs), finest → coarsest.
+#: A fixed grid keeps the choice deterministic and cache-friendly: the
+#: same corpus stats always select the same width.
+AUTO_BUCKET_GRID_US = (
+    60_000_000,  # 1 minute
+    300_000_000,  # 5 minutes
+    900_000_000,  # 15 minutes
+    3_600_000_000,  # 1 hour
+    21_600_000_000,  # 6 hours
+    86_400_000_000,  # 1 day
+    604_800_000_000,  # 7 days
+)
+_DAY_US = 86_400_000_000
+
+
+def auto_bucket_width_us(
+    features: DataFrame,
+    on: str = "conv_id",
+    ts: str = "ts",
+    target_rows: int = 50_000,
+    sample_fraction: float | None = None,
+) -> int:
+    """Data-driven as-of bucket width: the COARSEST grid width whose
+    hottest per-(entity, bucket) pandas group stays under ``target_rows``.
+
+    The binding constraint of the bucketed strategy is the single densest
+    entity's rows inside one time bucket (a mega-conversation shares one
+    salt, so its bucket rows land in ONE merge_asof frame).  Statistic:
+    max per-(entity, day) row count — one map-side-combinable aggregation
+    whose shuffle carries only (entity x day) partial counts, or a sampled
+    estimate via ``sample_fraction`` (scaled back up; sampling UNDER-
+    estimates the max, so sampled runs keep a 2x safety margin).
+    """
+    df = features.sample(fraction=sample_fraction, seed=42) if sample_fraction else features
+    hot = (
+        df.groupBy(F.col(on), F.floor(epoch_us(ts) / F.lit(_DAY_US)).alias("__d"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if not hot:  # empty input: any width works, pick 1 day
+        return _DAY_US
+    hot = int(hot / sample_fraction * 2) if sample_fraction else int(hot)
+    density_per_us = hot / _DAY_US  # rows/µs of the hottest entity-day
+    for width in reversed(AUTO_BUCKET_GRID_US):
+        if density_per_us * width <= target_rows:
+            return width
+    return AUTO_BUCKET_GRID_US[0]
+
+
 def asof_join(
     spine: DataFrame,
     features: DataFrame,
@@ -63,8 +113,9 @@ def asof_join(
     tiebreaks: Sequence[str] = (),
     prefix: str = DEFAULT_PREFIX,
     strategy: str = "window",
-    bucket: str = "1 day",
+    bucket: str | int = "1 day",
     n_salts: int = 32,
+    target_rows: int = 50_000,
 ) -> DataFrame:
     """Enrich every spine row with the latest preceding feature row.
 
@@ -72,9 +123,16 @@ def asof_join(
     null when no feature precedes the spine point) + ``{prefix}{col}`` for
     every feature value column.  ``n_salts`` bounds the pandas group count
     for the cogroup strategies (groups = salts, or time-buckets x salts).
+
+    ``bucket`` (bucketed strategy): an interval string, a width in µs, or
+    ``"auto"`` — sized from the corpus's hottest entity-day density so the
+    largest pandas group stays under ``target_rows`` (SURVEY §7.4's two
+    knobs, now data-driven).
     """
     tiebreaks = [c for c in tiebreaks if c in features.columns]
     val_cols = _value_cols(features, on, ts, tiebreaks)
+    if strategy == "bucketed" and bucket == "auto":
+        bucket = auto_bucket_width_us(features, on, ts, target_rows)
     if strategy == "window":
         return _asof_window(spine, features, on, ts, tiebreaks, prefix, val_cols)
     if strategy == "cogroup":
@@ -191,7 +249,7 @@ def _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket, 
         grouped = sb.groupBy("__g").cogroup(fb.groupBy("__g"))
         return grouped.applyInPandas(merge, schema=out_schema)
 
-    width_us = _interval_to_us(bucket)
+    width_us = bucket if isinstance(bucket, int) else _interval_to_us(bucket)
     b_of = lambda c: F.floor(epoch_us(c) / F.lit(width_us))  # noqa: E731
 
     fb = features.withColumn("__b", b_of(ts))

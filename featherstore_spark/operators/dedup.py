@@ -301,8 +301,21 @@ def simhash_60(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return agg.select("id", fp.cast("long").alias("simhash"))
 
 
-# Backwards-compatible name from round 1 (the fingerprint is now 60-bit).
-simhash_64 = simhash_60
+def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DEPRECATED round-1 name.  The fingerprint is now 60-bit with
+    DIFFERENT values (engine-owned md5 bit planes, bits 60-63 always 0):
+    any signature stored by the round-1 64-bit layout (e.g. 4x16-bit
+    chunking) is invalidated and must be recomputed.  Use simhash_60."""
+    import warnings
+
+    warnings.warn(
+        "simhash_64 is deprecated: fingerprints are now 60-bit md5-based and "
+        "differ in both width and values from round 1; stored round-1 "
+        "signatures are invalid. Call simhash_60 instead.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return simhash_60(df, id_col, text_col)
 
 
 def simhash_near_duplicates(

@@ -98,17 +98,68 @@ class CheckpointManifest:
         os.replace(tmp, self.path)
 
 
+#: Entries a checkpointed output directory may legitimately contain.
+#: Anything else means the path is NOT tool-owned and must not be deleted.
+_OWNED_ENTRY_PREFIXES = ("p_bucket=", "_manifest.json", "_SUCCESS", ".", "_temporary", "part-")
+
+
+def _looks_tool_owned(output_path: str) -> bool:
+    """True iff every entry under ``output_path`` is something this engine
+    writes (bucket partitions, manifest, Spark markers).  An empty dir is
+    owned (nothing to lose)."""
+    try:
+        entries = os.listdir(output_path)
+    except FileNotFoundError:
+        return True
+    return all(e.startswith(_OWNED_ENTRY_PREFIXES) for e in entries)
+
+
 def clear_stale_output(output_path: str) -> None:
     """Remove every prior data partition under ``output_path`` (manifest
     included).  Required on lineage change and on non-resume clean runs:
     dynamic overwrite replaces only buckets present in the NEW run, so a
     bucket the new input doesn't populate would silently keep rows from
     the previous lineage — exactly the stale-feature serving this module
-    exists to prevent.  Driver-side local-FS delete (shutil); an object-
-    store/HDFS deployment swaps in the corresponding FS client, still
-    O(partitions), no data movement."""
-    if os.path.isdir(output_path):
-        shutil.rmtree(output_path)
+    exists to prevent.
+
+    SAFETY: refuses to delete a directory that contains anything this
+    engine did not write (no ``_manifest.json`` / ``p_bucket=*`` layout) —
+    a typo'd or shared ``--output`` must error out, never be wholesale
+    rmtree'd.  Driver-side local-FS delete (shutil); an object-store/HDFS
+    deployment swaps in the corresponding FS client, still O(partitions),
+    no data movement."""
+    if not os.path.isdir(output_path):
+        return
+    if not _looks_tool_owned(output_path):
+        raise ValueError(
+            f"refusing to clear {output_path!r}: directory contains entries this "
+            "engine did not write (expected only p_bucket=*/ partitions and a "
+            "_manifest.json). Pass a dedicated output directory."
+        )
+    shutil.rmtree(output_path)
+
+
+def _observed_bucket_stats(out: DataFrame, pending: list[int], bucket: str = "p_bucket"):
+    """(observed DataFrame, Observation) computing per-pending-bucket
+    row_count + xor content hash IN THE WRITE JOB — no post-write scan.
+
+    One conditional pair per pending bucket: at the manifest's O(100)
+    bucket counts this is a few hundred cheap comparisons per row riding
+    the write stage, vs. a full second read of the output (the round-2
+    anti-pattern).  The row hash is identical to :func:`content_stats`
+    (same column order, same string casts), so ``verify=True`` read-back
+    audits compare exactly."""
+    from pyspark.sql import Observation
+
+    cols = [c for c in out.columns if c != bucket]
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    exprs = []
+    for b in pending:
+        hit = F.col(bucket) == F.lit(b)
+        exprs.append(F.count(F.when(hit, F.lit(1))).alias(f"rc_{b}"))
+        exprs.append(F.bit_xor(F.when(hit, row_hash)).alias(f"hash_{b}"))
+    obs = Observation("checkpoint_bucket_stats")
+    return out.observe(obs, *exprs), obs
 
 
 def run_with_checkpoint(
@@ -119,6 +170,9 @@ def run_with_checkpoint(
     entity_col: str = "conv_id",
     pipeline=None,
     spine: DataFrame | None = None,
+    verify: bool = False,
+    output_format: str | None = None,
+    manifest_dir: str | None = None,
 ) -> dict:
     """Materialize ``pipeline(transcripts)`` (or, with ``spine``,
     ``pipeline(transcripts, spine)`` — default: point-in-time vectors at
@@ -139,23 +193,45 @@ def run_with_checkpoint(
     - with a spine, BOTH sides are bucket-filtered: an unfiltered spine
       would emit all-null feature rows into buckets whose transcripts
       were pruned, silently overwriting completed partitions.
+
+    Commit metrics (row_count + content hash per bucket) ride the WRITE
+    job via ``observe()`` — the output is scanned zero extra times.
+    ``verify=True`` additionally reads the written partitions back and
+    cross-checks them against the observed stats (audit mode; at scale
+    this is a full second scan of the output, opt-in only).
+
+    ``output_format``: 'parquet' (``output_path`` is a directory) or
+    'iceberg' (``output_path`` is a table identifier — native
+    ``overwritePartitions`` snapshot commits; pass ``manifest_dir`` for
+    the driver-side manifest, which cannot live inside a table).
     """
     from featherstore_spark.plans.materialize import build_feature_log, materialize
+    from featherstore_spark.sources.io import table_format, write_partitioned
+
+    spark = transcripts.sparkSession
+    fmt = output_format or table_format(spark)
+    if fmt == "iceberg" and manifest_dir is None:
+        raise ValueError("iceberg output needs manifest_dir (a table has no directory for _manifest.json)")
 
     if pipeline is None:
         pipeline = build_feature_log if spine is None else materialize
-    manifest = CheckpointManifest(output_path, lineage)
+    manifest = CheckpointManifest(manifest_dir or output_path, lineage)
     if manifest.lineage_changed:
-        clear_stale_output(output_path)
+        if fmt == "iceberg":
+            spark.sql(f"DROP TABLE IF EXISTS {output_path}")
+            shutil.rmtree(manifest_dir, ignore_errors=True)
+            manifest = CheckpointManifest(manifest_dir, lineage)
+        else:
+            clear_stale_output(output_path)
     done = manifest.done_buckets()
+    if len(done) == n_buckets:  # driver-side short-circuit, no job at all
+        return manifest.metrics()
+    pending = [x for x in range(n_buckets) if x not in done]
 
     b = bucket_col(entity_col, n_buckets)
     pending_input = transcripts.withColumn("p_bucket", b)
     if done:
         pending_input = pending_input.where(~F.col("p_bucket").isin(sorted(done)))
-
-    if pending_input.isEmpty():
-        return manifest.metrics()
 
     if spine is None:
         result = pipeline(pending_input.drop("p_bucket"))
@@ -168,16 +244,26 @@ def run_with_checkpoint(
     out = result.withColumn("p_bucket", b)
     sort_key = "turn_idx" if "turn_idx" in out.columns else "ts"
     out = out.sortWithinPartitions(entity_col, sort_key) if sort_key in out.columns else out
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("p_bucket")
-        .parquet(output_path)
-    )
+    out, obs = _observed_bucket_stats(out, pending)
+    write_partitioned(out, output_path, ("p_bucket",), fmt=fmt)
 
-    written = out.sparkSession.read.parquet(output_path).where(
-        ~F.col("p_bucket").isin(sorted(done)) if done else F.lit(True)
-    )
-    stats = content_stats(written)
+    observed = obs.get
+    stats = {
+        b: {"row_count": int(observed[f"rc_{b}"]), "content_hash": int(observed[f"hash_{b}"])}
+        for b in pending
+        if observed[f"rc_{b}"] > 0  # a bucket with no output rows stays pending
+    }
+
+    if verify:  # opt-in audit: full read-back must reproduce the observed stats
+        written = (
+            spark.read.table(output_path) if fmt == "iceberg" else spark.read.parquet(output_path)
+        ).where(~F.col("p_bucket").isin(sorted(done)) if done else F.lit(True))
+        readback = content_stats(written)
+        if readback != stats:
+            raise RuntimeError(
+                f"checkpoint verify failed for {output_path!r}: "
+                f"observed={stats} read-back={readback}"
+            )
+
     manifest.mark_done(stats)
     return manifest.metrics()

@@ -77,21 +77,48 @@ ARROW_TO_SPARK: dict[str, T.DataType] = {
     "date64": T.DateType(),
     # time-of-day (reference maps Arrow Time32→DuckDB TIME,
     # duckdb.go:335-336,1001-1002); Spark has no TIME type, so the engine
-    # stores microseconds-since-midnight as a long (SURVEY §1.3)
+    # stores a long.  The TYPE mapping alone keeps the source unit
+    # (seconds / ms / µs / ns since midnight); ingest paths that want the
+    # canonical µs-since-midnight representation must apply
+    # ``time_to_us(col, arrow_type)`` — the mapping does not convert values.
     "time32[s]": T.LongType(),
     "time32[ms]": T.LongType(),
     "time64[us]": T.LongType(),
     "time64[ns]": T.LongType(),
 }
 
+# Multiplier source-unit -> µs (ns divides).  Used by time_to_us.
+_TIME_UNIT_TO_US = {"time32[s]": 1_000_000, "time32[ms]": 1_000, "time64[us]": 1, "time64[ns]": None}
+
+
+def time_to_us(col, arrow_type_name: str):
+    """Normalize an Arrow time-of-day long column to µs-since-midnight.
+    ``time32[s]``/``time32[ms]`` scale up exactly; ``time64[ns]`` truncates
+    toward zero (same policy as timestamp[ns] -> TimestampType above)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    name = arrow_type_name.strip()
+    if name not in _TIME_UNIT_TO_US:
+        raise ValueError(f"not an Arrow time type: {arrow_type_name!r}")
+    c = col if isinstance(col, Column) else F.col(col)
+    mult = _TIME_UNIT_TO_US[name]
+    if mult is None:  # ns -> µs truncation
+        return (c.cast("long") / F.lit(1000)).cast("long")
+    return (c.cast("long") * F.lit(mult)).cast("long")
+
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas at angle-bracket depth 0 (nested type params)."""
+    """Split on commas at bracket depth 0.  Tracks both ``<>`` (nested type
+    params) and ``()`` (parameterized leaves like ``decimal128(10, 2)``) so
+    a comma inside either never splits a sibling field — otherwise a whole
+    ``struct<a: decimal128(10, 2), b: string>`` would collapse to string
+    instead of degrading only the unknown leaf."""
     parts, depth, cur = [], 0, []
     for ch in s:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur).strip())

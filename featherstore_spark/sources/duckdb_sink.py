@@ -47,12 +47,24 @@ def write_duckdb(
         parquet_dir = os.path.join(staging, "export")
         df.write.mode("overwrite").option("compression", "snappy").parquet(parquet_dir)
         glob = os.path.join(parquet_dir, "*.parquet")
+        # A 0-row DataFrame can legally produce zero part files (AQE empty
+        # relation); read_parquet on an empty glob raises, so detect it and
+        # fall back to an empty Arrow table carrying the Spark schema.
+        have_parts = any(f.endswith(".parquet") for f in os.listdir(parquet_dir))
         con = duckdb.connect(database)
         try:
+            if have_parts:
+                src_sql, src_params = "SELECT * FROM read_parquet(?)", [glob]
+            else:
+                import pyarrow as pa  # noqa: F401  (registered view source)
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                con.register("__fs_empty_src", to_arrow_schema(df.schema).empty_table())
+                src_sql, src_params = "SELECT * FROM __fs_empty_src", []
             before = 0
             if mode == "overwrite":
                 con.execute(f'DROP TABLE IF EXISTS "{table}"')
-                con.execute(f'CREATE TABLE "{table}" AS SELECT * FROM read_parquet(?)', [glob])
+                con.execute(f'CREATE TABLE "{table}" AS {src_sql}', src_params)
             else:
                 exists = con.execute(
                     "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
@@ -60,11 +72,9 @@ def write_duckdb(
                 ).fetchone()[0]
                 if exists:
                     before = con.execute(f'SELECT count(*) FROM "{table}"').fetchone()[0]
-                    con.execute(f'INSERT INTO "{table}" SELECT * FROM read_parquet(?)', [glob])
+                    con.execute(f'INSERT INTO "{table}" {src_sql}', src_params)
                 else:
-                    con.execute(
-                        f'CREATE TABLE "{table}" AS SELECT * FROM read_parquet(?)', [glob]
-                    )
+                    con.execute(f'CREATE TABLE "{table}" AS {src_sql}', src_params)
             total = con.execute(f'SELECT count(*) FROM "{table}"').fetchone()[0]
         finally:
             con.close()

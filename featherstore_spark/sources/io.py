@@ -54,24 +54,74 @@ def with_partition_columns(
 
 def write_partitioned(
     df: DataFrame,
-    path: str,
+    target: str,
     partition_by: tuple[str, ...] = ("p_bucket",),
     mode: str = "overwrite",
+    fmt: str | None = None,
 ) -> None:
-    """Dynamic-partition-overwrite write: only the partitions present in
-    ``df`` are replaced (exactly-once resume semantics; the Iceberg
-    equivalent is ``overwritePartitions``).
+    """Partition-scoped overwrite write: only the partitions present in
+    ``df`` are replaced (exactly-once resume semantics).
 
-    The overwrite mode is set PER-WRITER, not inherited from the session:
-    a caller on a vanilla SparkSession (foreign spark-submit conf,
-    notebook) would otherwise get STATIC overwrite — which deletes every
-    existing partition, including checkpointed-done buckets."""
+    ``fmt`` is 'parquet' (``target`` is a path) or 'iceberg' (``target``
+    is a table identifier); None auto-detects via :func:`table_format`.
+
+    Parquet: the overwrite mode is set PER-WRITER, not inherited from the
+    session — a caller on a vanilla SparkSession (foreign spark-submit
+    conf, notebook) would otherwise get STATIC overwrite, which deletes
+    every existing partition, including checkpointed-done buckets.
+
+    Iceberg: ``writeTo(t).overwritePartitions()`` — the native equivalent
+    (atomic snapshot commit; reference backend factory constructs both
+    backends the same way, factory.go:25-36)."""
+    fmt = fmt or table_format(df.sparkSession)
+    if fmt == "iceberg":
+        write_iceberg_partitioned(df, target, partition_by)
+        return
     (
         df.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_by)
-        .parquet(path)
+        .parquet(target)
     )
+
+
+def write_iceberg_partitioned(
+    df: DataFrame,
+    table: str,
+    partition_by: tuple[str, ...] = ("p_bucket",),
+) -> None:
+    """Iceberg branch of :func:`write_partitioned`: first write CREATEs the
+    table partitioned by the given (already-materialized) columns; later
+    writes ``overwritePartitions()`` — replaces exactly the partitions
+    present in ``df``, atomically, the checkpoint/resume contract.
+
+    For a RAW transcript table prefer the native transform spec
+    (:func:`create_transcripts_iceberg`: ``bucket(N, conv_id), days(ts)``);
+    the checkpointed feature output carries an explicit ``p_bucket``
+    column so identity partitioning keeps the manifest's partition
+    identity byte-stable across formats."""
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        df.writeTo(table).overwritePartitions()
+    else:
+        df.writeTo(table).partitionedBy(*[F.col(c) for c in partition_by]).create()
+
+
+def create_transcripts_iceberg(
+    spark: SparkSession,
+    table: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> None:
+    """Create an empty Iceberg transcript table with the native hidden-
+    partition spec the module docstring names: ``(bucket(N, conv_id),
+    days(ts))`` — Iceberg derives partition values from the data columns,
+    so readers/writers never materialize p_bucket/p_date themselves."""
+    from featherstore_spark.schema import TRANSCRIPT_SCHEMA
+
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    empty.writeTo(table).partitionedBy(
+        F.bucket(n_buckets, F.col("conv_id")), F.days(F.col("ts"))
+    ).create()
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

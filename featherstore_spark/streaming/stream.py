@@ -97,11 +97,17 @@ def streaming_cumulative_features(
 
     This is the pattern for operators Spark's windowed streaming
     aggregates cannot express (running per-row state emitted per input
-    row).  State per key is two longs — O(active conversations) in the
-    state store, not O(turns).  Assumes per-conversation event-time
-    ordered arrival (turn_idx order within and across micro-batches), the
-    standard contract for transcript tailing; out-of-order backfills go
-    through the batch checkpoint path instead (plans/checkpoint.py).
+    row).  State per key is three longs — O(active conversations) in the
+    state store, not O(turns).
+
+    Ordering contract, ENFORCED not assumed: rows within a micro-batch
+    are sorted by turn_idx before accumulating, and the state carries the
+    highest turn_idx already consumed per conversation — a later micro-
+    batch delivering an earlier-or-equal turn (out-of-order arrival,
+    replayed turn) raises immediately instead of silently producing wrong
+    cumulative counters.  Out-of-order backfills go through the batch
+    checkpoint path instead (plans/checkpoint.py), which recomputes whole
+    buckets and cannot double-count.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -120,13 +126,14 @@ def streaming_cumulative_features(
         [
             T.StructField("cum_turns", T.LongType()),
             T.StructField("cum_tool_calls", T.LongType()),
+            T.StructField("max_turn_idx", T.LongType()),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
         import numpy as np
 
-        turns, tools = state.get if state.exists else (0, 0)
+        turns, tools, max_seen = state.get if state.exists else (0, 0, -1)
         # reset_index after the sort: DataFrame construction aligns Series
         # by index, so sorted Series + positional arrays would interleave
         pdf = (
@@ -134,6 +141,18 @@ def streaming_cumulative_features(
             .sort_values("turn_idx")
             .reset_index(drop=True)
         )
+        if len(pdf) == 0:  # pragma: no cover - NoTimeout never calls with empty
+            return
+        # fail LOUDLY on out-of-order arrival across micro-batches (and on
+        # a replayed/duplicated turn): silent wrong counters are the worst
+        # failure mode of running state
+        first = int(pdf["turn_idx"].iloc[0])
+        if first <= max_seen:
+            raise ValueError(
+                f"out-of-order arrival for {key}: turn_idx {first} after "
+                f"already-consumed turn_idx {max_seen}; replay/backfill must go "
+                "through the batch checkpoint path (plans/checkpoint.py)"
+            )
         is_tool = pdf["tool"].notna().astype("int64")
         out = pd.DataFrame(
             {
@@ -144,7 +163,9 @@ def streaming_cumulative_features(
                 "cum_tool_calls": tools + is_tool.cumsum(),
             }
         )
-        state.update((turns + len(pdf), tools + int(is_tool.sum())))
+        state.update(
+            (turns + len(pdf), tools + int(is_tool.sum()), int(pdf["turn_idx"].iloc[-1]))
+        )
         yield out
 
     return stream.groupBy(entity_col).applyInPandasWithState(

@@ -219,3 +219,57 @@ def test_duckdb_sink_roundtrip(spark, transcripts, tmp_path):
     con = duckdb.connect(db)
     assert con.execute("SELECT count(*) FROM latest_features").fetchone()[0] == n
     con.close()
+
+
+def test_duckdb_sink_content_hash_verified(spark, transcripts, tmp_path):
+    """VERDICT r2 order #8: not just row counts — an order-independent
+    cross-engine content hash (engine-owned md5_long60, xor-aggregated)
+    computed by Spark on the source and by DuckDB on the sunk table must
+    match exactly."""
+    import duckdb
+
+    from featherstore_spark.functions.hashing import md5_long60, sql_md5_long60
+    from featherstore_spark.sources.duckdb_sink import write_duckdb
+
+    feats = transcripts.select("conv_id", "turn_idx", "role", "ts")
+    db = str(tmp_path / "serve.duckdb")
+    write_duckdb(feats, db, "turns")
+
+    row_str = F.concat_ws(
+        "|", F.col("conv_id"), F.col("turn_idx"), F.col("role"), F.unix_micros("ts")
+    )
+    spark_hash = feats.agg(F.bit_xor(md5_long60(row_str))).first()[0]
+
+    con = duckdb.connect(db)
+    duck_hash = con.execute(
+        "SELECT bit_xor("
+        + sql_md5_long60("concat_ws('|', conv_id, turn_idx, role, epoch_us(ts))")
+        + ") FROM turns"
+    ).fetchone()[0]
+    con.close()
+    assert spark_hash == duck_hash
+
+
+def test_duckdb_sink_empty_dataframe(spark, transcripts, tmp_path):
+    """ADVICE r2: a legitimate 0-row export must create/append an EMPTY
+    table with the right schema, not crash on an empty parquet glob."""
+    import duckdb
+
+    from featherstore_spark.sources.duckdb_sink import write_duckdb
+
+    empty = transcripts.where(F.lit(False)).select("conv_id", "turn_idx", "role")
+    db = str(tmp_path / "serve.duckdb")
+    assert write_duckdb(empty, db, "empty_t") == 0
+
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM empty_t").fetchone()[0] == 0
+    cols = [r[0] for r in con.execute(
+        "SELECT column_name FROM information_schema.columns "
+        "WHERE table_name='empty_t' ORDER BY ordinal_position").fetchall()]
+    con.close()
+    assert cols == ["conv_id", "turn_idx", "role"]
+
+    # append of 0 rows onto an existing table is a no-op, not an error
+    some = transcripts.select("conv_id", "turn_idx", "role").limit(3)
+    assert write_duckdb(some, db, "empty_t", mode="append") == 3
+    assert write_duckdb(empty, db, "empty_t", mode="append") == 0

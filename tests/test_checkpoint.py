@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from featherstore_spark.plans.checkpoint import (
@@ -169,3 +170,171 @@ def test_spine_materialization_kill_resume(spark, transcripts, tmp_path):
         assert final["buckets"][bkt]["completed_at"] == v["completed_at"]
     for bkt, v in complete["buckets"].items():
         assert final["buckets"][bkt]["content_hash"] == v["content_hash"]
+
+
+def test_clear_stale_output_refuses_foreign_dir(tmp_path):
+    """ADVICE r2 (medium): a typo'd/shared --output containing files this
+    engine did not write must error, never be wholesale rmtree'd."""
+    from featherstore_spark.plans.checkpoint import clear_stale_output
+
+    foreign = tmp_path / "shared"
+    foreign.mkdir()
+    (foreign / "precious_notes.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to clear"):
+        clear_stale_output(str(foreign))
+    assert (foreign / "precious_notes.txt").exists()
+
+    # a tool-owned layout still clears
+    owned = tmp_path / "owned"
+    (owned / "p_bucket=3").mkdir(parents=True)
+    (owned / "_manifest.json").write_text("{}")
+    (owned / "_SUCCESS").write_text("")
+    clear_stale_output(str(owned))
+    assert not owned.exists()
+
+
+def test_commit_never_rescans_output(spark, transcripts, tmp_path, monkeypatch):
+    """VERDICT r2 order #3: the non-verify commit path must scan the
+    written output ZERO times — stats ride the write job via observe()."""
+    import pyspark.sql.readwriter as rw
+
+    out = str(tmp_path / "feat")
+    reads: list[str] = []
+    orig_parquet = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        reads.extend(paths)
+        return orig_parquet(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    m = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    assert m["total_rows"] == transcripts.count()
+    assert all(out not in p for p in reads), f"output was re-read: {reads}"
+    # and the manifest still carries real per-bucket content hashes
+    man = _read_manifest(out)
+    assert all("content_hash" in v for v in man["buckets"].values())
+
+
+def test_verify_mode_matches_observed_stats(spark, transcripts, tmp_path):
+    """verify=True reads the written partitions back and must agree with
+    the in-job observed stats (audit mode raises on mismatch)."""
+    out = str(tmp_path / "feat")
+    m = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8, verify=True)
+    assert m["total_rows"] == transcripts.count()
+
+
+def test_observed_hashes_equal_readback_content_stats(spark, transcripts, tmp_path):
+    """The observe()-computed hash formula is IDENTICAL to content_stats
+    on the read-back data (same column order, same casts) — the
+    determinism anchor for resume across engine versions."""
+    from featherstore_spark.plans.checkpoint import content_stats
+
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=8)
+    man = _read_manifest(out)
+    back = content_stats(spark.read.parquet(out))
+    assert {int(b): v["content_hash"] for b, v in man["buckets"].items()} == {
+        b: v["content_hash"] for b, v in back.items()
+    }
+    assert {int(b): v["row_count"] for b, v in man["buckets"].items()} == {
+        b: v["row_count"] for b, v in back.items()
+    }
+
+
+def test_all_done_resume_launches_no_job(spark, transcripts, tmp_path, monkeypatch):
+    """A fully-done manifest short-circuits driver-side: no write job at
+    all (replaces the round-2 isEmpty() pre-job).  n_buckets=4 so the
+    seed-fixed corpus populates every bucket."""
+    import featherstore_spark.sources.io as io_mod
+
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=4)
+    assert len(_read_manifest(out)["buckets"]) == 4  # all populated
+
+    def boom(*a, **kw):  # any write attempt on the resume is a failure
+        raise AssertionError("fully-done resume attempted a write job")
+
+    monkeypatch.setattr(io_mod, "write_partitioned", boom)
+    m = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=4)
+    assert m["total_rows"] == transcripts.count()
+
+
+def test_iceberg_write_branch_selection(spark, transcripts, monkeypatch):
+    """Always-on coverage of the Iceberg writeTo branch (VERDICT r2 order
+    #2): no jar in this sandbox, so the DataFrameWriterV2 surface is
+    faked and the branch logic (create-on-first-write, then
+    overwritePartitions) is asserted directly."""
+    from featherstore_spark.sources import io as io_mod
+
+    calls = []
+
+    class FakeWriterV2:
+        def __init__(self, table):
+            self.table, self.parts = table, ()
+
+        def partitionedBy(self, *cols):
+            self.parts = cols
+            return self
+
+        def create(self):
+            calls.append(("create", self.table, len(self.parts)))
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.table))
+
+    df = transcripts.withColumn("p_bucket", F.lit(0))
+    # patch the CONCRETE classes (pyspark 4 routes the facade to
+    # sql.classic implementations)
+    monkeypatch.setattr(type(df), "writeTo", lambda self, t: FakeWriterV2(t))
+    exists = {"v": False}
+    monkeypatch.setattr(
+        type(spark.catalog), "tableExists", lambda self, t: exists["v"]
+    )
+
+    io_mod.write_partitioned(df, "local.db.feat", fmt="iceberg")
+    exists["v"] = True
+    io_mod.write_partitioned(df, "local.db.feat", fmt="iceberg")
+    assert calls == [
+        ("create", "local.db.feat", 1),  # partitionedBy(p_bucket) + create
+        ("overwritePartitions", "local.db.feat"),  # partition-scoped resume
+    ]
+
+
+def test_iceberg_checkpoint_requires_manifest_dir(spark, transcripts, tmp_path):
+    with pytest.raises(ValueError, match="manifest_dir"):
+        run_with_checkpoint(
+            transcripts, "local.db.feat", LINEAGE, n_buckets=4, output_format="iceberg"
+        )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "iceberg"])
+def test_kill_resume_parametrized_formats(spark, transcripts, tmp_path, fmt):
+    """Kill-resume over both table formats.  The iceberg case activates
+    only when the runtime ships the Iceberg extensions (auto-skip here);
+    the parquet case keeps the parametrization honest everywhere."""
+    from featherstore_spark.sources.io import table_format
+
+    if fmt == "iceberg" and table_format(spark) != "iceberg":
+        pytest.skip("no Iceberg jar in this environment")
+    if fmt == "iceberg":
+        out, mdir = "local.db.kill_resume", str(tmp_path / "manifest")
+    else:
+        out, mdir = str(tmp_path / "feat"), None
+
+    kw = {"n_buckets": 8, "output_format": fmt, "manifest_dir": mdir}
+    full = run_with_checkpoint(transcripts, out, LINEAGE, **kw)
+    mpath = mdir or out
+    complete = _read_manifest(mpath)
+
+    crashed = dict(complete)
+    crashed["buckets"] = dict(list(complete["buckets"].items())[:4])
+    with open(os.path.join(mpath, MANIFEST), "w") as fh:
+        json.dump(crashed, fh)
+
+    m = run_with_checkpoint(transcripts, out, LINEAGE, **kw)
+    final = _read_manifest(mpath)
+    assert m["total_rows"] == full["total_rows"]
+    for b, v in crashed["buckets"].items():
+        assert final["buckets"][b]["completed_at"] == v["completed_at"]
+    for b, v in complete["buckets"].items():
+        assert final["buckets"][b]["content_hash"] == v["content_hash"]

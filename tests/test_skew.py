@@ -75,3 +75,54 @@ def test_skewed_asof_strategies_agree(spark, skewed):
     pd.testing.assert_series_equal(
         a["f_turn_idx"].astype("float64"), b["f_turn_idx"].astype("float64"), check_names=False
     )
+
+
+def test_auto_bucket_sizes_from_density_and_matches_fixed(spark, skewed):
+    """VERDICT r2 order #7: bucket='auto' measures the hottest entity-day
+    density and picks a finer-than-default width for the mega-conversation
+    corpus; the result hash-matches a fixed-bucket run."""
+    from featherstore_spark.operators.asof import auto_bucket_width_us
+
+    feats = turn_features(skewed).select("conv_id", "ts", "turn_idx", "text_len")
+    spine = generate_spine(skewed, seed=3)
+
+    # the mega conversation packs thousands of turns into ~a day: with a
+    # tight group budget the chosen width must drop below the 1-day default
+    width = auto_bucket_width_us(feats, target_rows=200)
+    assert width < 86_400_000_000, f"auto kept {width} µs despite mega-conv density"
+
+    auto = (
+        asof_join(spine, feats, tiebreaks=("turn_idx",), strategy="bucketed",
+                  bucket="auto", target_rows=200)
+        .toPandas().sort_values(["conv_id", "ts", "f_ts"], na_position="first", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    fixed = (
+        asof_join(spine, feats, tiebreaks=("turn_idx",), strategy="bucketed", bucket="6 hours")
+        .toPandas().sort_values(["conv_id", "ts", "f_ts"], na_position="first", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert auto["f_ts"].equals(fixed["f_ts"])
+    pd.testing.assert_series_equal(
+        auto["f_turn_idx"].astype("float64"), fixed["f_turn_idx"].astype("float64"),
+        check_names=False,
+    )
+
+
+def test_auto_bucket_grid_selection_logic(spark):
+    """Pure sizing logic: denser corpus -> finer grid step; empty -> 1 day."""
+    import datetime
+
+    from featherstore_spark.operators.asof import AUTO_BUCKET_GRID_US, auto_bucket_width_us
+
+    base = datetime.datetime(2025, 1, 1)
+    # 2880 rows for one entity inside one day -> 2 rows/minute
+    rows = [("c0", base + datetime.timedelta(seconds=30 * i)) for i in range(2880)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    # budget 120 rows -> need width <= 1 hour (2880/day * 1h = 120)
+    assert auto_bucket_width_us(df, target_rows=120) == 3_600_000_000
+    # huge budget -> coarsest grid entry
+    assert auto_bucket_width_us(df, target_rows=10**9) == AUTO_BUCKET_GRID_US[-1]
+    # empty input -> 1 day default
+    empty = df.where("1=0")
+    assert auto_bucket_width_us(empty) == 86_400_000_000

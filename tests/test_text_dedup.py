@@ -209,3 +209,19 @@ def test_simhash_empty_and_null_docs_are_zero(spark):
     assert set(got) == {1, 2, 3, 4}
     assert got[1] == got[2] == got[3] == 0
     assert got[4] != 0
+
+
+def test_simhash_64_alias_warns_and_delegates(spark):
+    """ADVICE r2: the round-1 name survives but must WARN that fingerprint
+    width and values changed (stored 64-bit signatures are invalid)."""
+    import warnings
+
+    from featherstore_spark.operators.dedup import simhash_60, simhash_64
+
+    docs = spark.createDataFrame([(1, "hello world"), (2, "other text")], "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got = simhash_64(docs).orderBy("id").collect()
+    assert any(issubclass(w.category, DeprecationWarning) for w in rec)
+    exp = simhash_60(docs).orderBy("id").collect()
+    assert got == exp

@@ -114,3 +114,45 @@ def test_murmur3_matches_spark_hash(spark):
     for n in (4, 16, 64, 128):
         keys = partition_identity_keys(n)
         assert [murmur3_int32(k) % n for k in keys] == list(range(n))
+
+
+def test_split_top_level_tracks_parens():
+    """ADVICE r2: a comma inside a parameterized leaf (decimal128(10, 2))
+    must not split the sibling list — only the UNKNOWN leaf degrades to
+    string, representable siblings keep their real types."""
+    from featherstore_spark.schema import arrow_to_spark_type
+
+    got = arrow_to_spark_type("struct<a: decimal128(10, 2), b: string, c: int64>")
+    assert got == T.StructType(
+        [
+            T.StructField("a", T.StringType()),  # unknown leaf degrades alone
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+    assert arrow_to_spark_type("map<string, decimal128(10, 2)>") == T.MapType(
+        T.StringType(), T.StringType()
+    )
+
+
+def test_time_to_us_converts_each_source_unit(spark):
+    """ADVICE r2: the type mapping alone keeps the source unit; time_to_us
+    is the ingest-side conversion to canonical µs-since-midnight
+    (ns truncates, same policy as timestamp[ns])."""
+    from pyspark.sql import functions as F
+
+    from featherstore_spark.schema import time_to_us
+
+    df = spark.createDataFrame([(7, 7, 7, 7_999)], "s long, ms long, us long, ns long")
+    row = df.select(
+        time_to_us("s", "time32[s]").alias("s"),
+        time_to_us("ms", "time32[ms]").alias("ms"),
+        time_to_us("us", "time64[us]").alias("us"),
+        time_to_us(F.col("ns"), "time64[ns]").alias("ns"),
+    ).first()
+    assert (row["s"], row["ms"], row["us"], row["ns"]) == (7_000_000, 7_000, 7, 7)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not an Arrow time type"):
+        time_to_us("s", "int64")
