@@ -146,10 +146,11 @@ def _asof_clicks_purchases(spark, sf_dir, strategy):
     # to amortize the Arrow/pandas per-group overhead (~150 users over ~1
     # month -> 7-day buckets ≈ 5 groups/user); correctness is width-
     # independent (boundary carry), only group granularity changes.
-    out = asof_join(
-        spine, feats, on="user_id", ts="ts", tiebreaks=("event_id",),
-        strategy=strategy, bucket="7 days",
-    )
+    # strategy="auto" exercises the data-driven width instead (measures the
+    # hottest entity-day density and picks from a fixed grid).
+    kw = {"strategy": "bucketed", "bucket": "auto"} if strategy == "auto" else {
+        "strategy": strategy, "bucket": "7 days"}
+    out = asof_join(spine, feats, on="user_id", ts="ts", tiebreaks=("event_id",), **kw)
     return out.select(
         "user_id", "ts", "event_id", "f_ts", "f_event_id",
         F.round("f_value", 4).alias("f_value"),
@@ -162,6 +163,14 @@ def q_asof_join(spark, sf_dir):
 
 def q_asof_join_bucketed(spark, sf_dir):
     return _asof_clicks_purchases(spark, sf_dir, "bucketed")
+
+
+def q_asof_join_auto(spark, sf_dir):
+    """Bucketed as-of with the data-driven bucket width (auto-sized from
+    the hottest entity-day density, featherstore_spark/operators/asof.py
+    auto_bucket_width_us) — same oracle as the fixed-width strategies:
+    the result is width-independent by construction."""
+    return _asof_clicks_purchases(spark, sf_dir, "auto")
 
 
 def q_history_scan(spark, sf_dir):
@@ -538,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_entity": q_latest_per_entity,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
+        "asof_join_auto": q_asof_join_auto,
         "history_scan": q_history_scan,
         "semi_join_entities": q_semi_join_entities,
         "lag_lead": q_lag_lead,
@@ -590,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_join": _ASOF_ORACLE,
         "asof_join_bucketed": _ASOF_ORACLE,
+        "asof_join_auto": _ASOF_ORACLE,
         "history_scan": """
             SELECT * FROM events
             WHERE user_id = 7

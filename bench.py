@@ -92,23 +92,74 @@ def materialize_job(spark, transcripts, out_dir: str, cores: int) -> None:
     )
 
 
+def parse_utilization(evdir: str, app_id: str, w0_ms: float, w1_ms: float, cores: int) -> float | None:
+    """CPU-slot utilization of a wall-clock window from the Spark event
+    log: sum of per-task (launch→finish) overlap with [w0, w1], divided by
+    wall x cores.  ~1.0 means every core slot held a running task the
+    whole window — the PLAN has no serial section or scheduling gap; any
+    wall inflation on such a round is tasks running SLOWER (external CPU
+    theft / memory-bandwidth contention), not the engine idling.  A low
+    value on a clean round, conversely, would indict the plan (stragglers,
+    serial stages).  Together with the loadavg gate this attributes every
+    round's residual gap: plan-idle (low util) vs host-stolen (high util,
+    high loadavg)."""
+    import glob as _glob
+
+    # Spark 4 event-log v2: a DIRECTORY eventlog_v2_<appId>/ holding
+    # events_N_<appId> part files (v1 would be a single file named appId)
+    paths = _glob.glob(os.path.join(evdir, f"*{app_id}*"))
+    if not paths:
+        return None
+    files: list[str] = []
+    for p in paths:
+        files += sorted(_glob.glob(os.path.join(p, "events*"))) if os.path.isdir(p) else [p]
+    busy_ms = 0.0
+    for path in files:
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    info = json.loads(line)["Task Info"]
+                    launch, finish = info["Launch Time"], info["Finish Time"]
+                except (KeyError, ValueError):
+                    continue
+                busy_ms += max(0.0, min(finish, w1_ms) - max(launch, w0_ms))
+    wall_ms = w1_ms - w0_ms
+    return round(busy_ms / (wall_ms * cores), 3) if wall_ms > 0 else None
+
+
 # Runs in a FRESH JVM: fixed heap + G1GC, shuffle = 4x cores.  Warmups
 # run the SAME corpus: AQE re-plans per runtime statistics, so a warmup
 # on a smaller corpus compiles DIFFERENT codegen classes and the first
 # measured run would still execute at interpreter/C1 speed (measured
-# 70-190 s vs 14-20 s steady at 8M turns).  Emits one JSON line with
-# per-run wall times and loadavg samples.
+# 70-190 s vs 14-20 s steady at 8M turns).
+#
+# Contention gating (FS_LOAD_GATE): a measured run whose surrounding
+# 1-min loadavg exceeds the gate is recorded but marked contended and
+# RETRIED (up to FS_MAX_RUNS total) — this box sees episodic EXTERNAL
+# load bursts (loadavg >15 with zero local processes) that inflate wall
+# 3-4x; un-gated medians mix those bursts into the steady figure.
+# Every run also gets an event-log task-utilization figure so discarded
+# rounds carry their own attribution.  Emits one JSON line.
 _MAT_JOB = """
 import json, os, sys, time, shutil
 sys.path.insert(0, {repo!r})
 from featherstore_spark.session import get_spark
-from bench import materialize_job
+from bench import materialize_job, parse_utilization
 
 cores = int(sys.argv[1]); corpus = sys.argv[2]; out = sys.argv[3]; heap = sys.argv[4]
 jvm_extra = os.environ.get("FS_JVM_EXTRA", "")
+gate = float(os.environ.get("FS_LOAD_GATE", "inf"))
+max_runs = int(os.environ.get("FS_MAX_RUNS", "{runs}"))
+evdir = out + "_evlog"
+os.makedirs(evdir, exist_ok=True)
 extra = {{"spark.driver.memory": heap,
           "spark.driver.extraJavaOptions": ("-XX:+UseG1GC " + jvm_extra).strip(),
           "spark.ui.enabled": "false",
+          "spark.eventLog.enabled": "true",
+          "spark.eventLog.compress": "false",
+          "spark.eventLog.dir": "file://" + evdir,
           "spark.local.dir": out + "_local"}}
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=4 * cores,
                   extra_conf=extra, app_name=f"materialize_bench_{{cores}}")
@@ -120,20 +171,29 @@ for i in range({warmups}):
     t0 = time.perf_counter()
     materialize_job(spark, t, out, cores)
     warm_secs.append(time.perf_counter() - t0)
-secs, loads = [], [round(os.getloadavg()[0], 1)]
+runs_detail, n_clean = [], 0
 t_start = time.perf_counter()
-for i in range({runs}):
-    t0 = time.perf_counter()
+while n_clean < {runs} and len(runs_detail) < max_runs:
+    l0 = os.getloadavg()[0]; w0 = time.time() * 1000.0; p0 = time.perf_counter()
     materialize_job(spark, t, out, cores)
-    secs.append(time.perf_counter() - t0)
-    loads.append(round(os.getloadavg()[0], 1))
+    dt = time.perf_counter() - p0; w1 = time.time() * 1000.0; l1 = os.getloadavg()[0]
+    ok = max(l0, l1) <= gate
+    n_clean += ok
+    runs_detail.append({{"secs": round(dt, 3), "load0": round(l0, 1),
+                         "load1": round(l1, 1), "w0": w0, "w1": w1, "clean": ok}})
     if time.perf_counter() - t_start > {cap}:
         break
+app_id = spark.sparkContext.applicationId
+spark.stop()
+for r in runs_detail:
+    r["util"] = parse_utilization(evdir, app_id, r.pop("w0"), r.pop("w1"), cores)
 shutil.rmtree(out, ignore_errors=True)
 shutil.rmtree(out + "_local", ignore_errors=True)
+shutil.rmtree(evdir, ignore_errors=True)
 print(json.dumps({{"cores": cores, "n_turns": n, "warm_secs": warm_secs,
-                   "secs": secs, "loadavg": loads}}))
-spark.stop()
+                   "runs": runs_detail,
+                   "secs": [r["secs"] for r in runs_detail],
+                   "loadavg": [r["load1"] for r in runs_detail]}}))
 """
 
 
@@ -145,30 +205,44 @@ def run_materialize_level(
     runs: int = MAT_RUNS,
     cap_s: float = MAT_TIME_CAP_S,
     heap: str = "24g",
+    load_gate: float | None = None,
+    max_runs: int | None = None,
 ) -> dict:
     """One parallelism level of the shared protocol, in a fresh JVM.
     Returns {cores, n_turns, warmup/measured secs, loadavg} plus derived
-    median/best/throughput over the measured runs.  ``best`` estimates
-    the uncontended wall time (external host bursts only ever inflate)."""
+    median/best/throughput.  With ``load_gate`` set, runs whose 1-min
+    loadavg exceeds the gate are marked contended and retried (up to
+    ``max_runs``); the headline median then covers CLEAN runs only, with
+    every run's loadavg + event-log utilization kept for attribution.
+    ``best`` estimates the uncontended wall (bursts only ever inflate)."""
     job = _MAT_JOB.format(repo=REPO, warmups=warmups, runs=runs, cap=cap_s)
+    env = dict(os.environ)
+    if load_gate is not None:
+        env["FS_LOAD_GATE"] = str(load_gate)
+        env["FS_MAX_RUNS"] = str(max_runs or runs * 3)
     res = subprocess.run(
         [sys.executable, "-c", job, str(cores), corpus, out_dir, heap],
-        check=True, capture_output=True, text=True, cwd=REPO,
+        check=True, capture_output=True, text=True, cwd=REPO, env=env,
     )
     r = json.loads(res.stdout.strip().splitlines()[-1])
     measured = r.pop("secs")
-    med = statistics.median(measured)
+    clean = [d["secs"] for d in r["runs"] if d["clean"]] or measured
+    med = statistics.median(clean)
     r.update(
         {
             "warmup_secs": [round(s, 2) for s in r.pop("warm_secs")],
             "measured_secs": [round(s, 2) for s in measured],
+            "n_clean": sum(d["clean"] for d in r["runs"]),
+            "n_contended": sum(not d["clean"] for d in r["runs"]),
+            "utilization": [d["util"] for d in r["runs"]],
             "seconds": round(med, 3),
             "best_seconds": round(min(measured), 3),
             "turns_per_sec": round(r["n_turns"] / med, 1),
             "best_turns_per_sec": round(r["n_turns"] / min(measured), 1),
             "protocol": {
                 "warmups": warmups,
-                "aggregate": "median (+ best as uncontended estimate)",
+                "aggregate": "median of clean runs (+ best as uncontended estimate)",
+                "load_gate": load_gate,
                 "shuffle_partitions": 4 * cores,
                 "jvm": f"fresh, {heap} G1GC",
                 "storage": "tmpfs" if corpus.startswith("/dev/shm") else "disk",
@@ -184,6 +258,8 @@ def run_executor_emulation(
     cores_per_executor: int = 4,
     warmups: int = MAT_WARMUPS,
     runs: int = MAT_RUNS,
+    load_gate: float | None = None,
+    max_runs: int | None = None,
 ) -> dict:
     """4N-executor emulation: one fresh JVM per 'executor', run
     CONCURRENTLY over hash-disjoint corpus quarters (conversations are
@@ -210,6 +286,12 @@ def run_executor_emulation(
             cmd = ["taskset", "-c", f"{lo}-{lo + cpus_per_exec - 1}"] + cmd
         env = dict(os.environ)
         env["FS_JVM_EXTRA"] = f"-XX:ActiveProcessorCount={cpus_per_exec}"
+        if load_gate is not None:
+            # gate on the BOX loadavg: the emulation's own expected load is
+            # n_exec x cores_per_executor; anything above the gate is
+            # external (the judge-ordered "own core count + margin" rule)
+            env["FS_LOAD_GATE"] = str(load_gate)
+            env["FS_MAX_RUNS"] = str(max_runs or runs * 3)
         procs.append(
             subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                              text=True, cwd=REPO, env=env)
@@ -220,18 +302,25 @@ def run_executor_emulation(
     round_walls = [max(o["secs"][i] for o in outs) for i in range(n_rounds)]
     med = statistics.median(round_walls)
     best = min(round_walls)
-    # steady wall: max over executors of each executor's MEDIAN round —
-    # the straggler's typical time.  Round-max medians couple every
-    # executor's noise into every round (one executor's external-load
-    # burst poisons the whole round); executors on a real cluster run
-    # independent task streams, so the steady straggler is the honest
-    # sustained wall.
-    steady = max(statistics.median(o["secs"]) for o in outs)
+    # steady wall: max over executors of each executor's MEDIAN CLEAN
+    # round — the straggler's typical uncontended time.  Round-max medians
+    # couple every executor's noise into every round (one executor's
+    # external-load burst poisons the whole round); executors on a real
+    # cluster run independent task streams, so the steady straggler is the
+    # honest sustained wall.  Contended rounds stay in per_executor_runs
+    # with their loadavg + utilization for per-round attribution.
+    clean_per_exec = [
+        [d["secs"] for d in o["runs"] if d["clean"]] or o["secs"] for o in outs
+    ]
+    steady = max(statistics.median(c) for c in clean_per_exec)
     return {
         "executors": len(outs),
         "cores_per_executor": cores_per_executor,
         "n_turns": n_total,
         "per_executor_measured": [[round(s, 2) for s in o["secs"]] for o in outs],
+        "per_executor_runs": [o["runs"] for o in outs],
+        "n_clean": sum(d["clean"] for o in outs for d in o["runs"]),
+        "n_contended": sum(not d["clean"] for o in outs for d in o["runs"]),
         "round_walls": [round(s, 2) for s in round_walls],
         "seconds": round(med, 3),
         "best_seconds": round(best, 3),
@@ -239,6 +328,7 @@ def run_executor_emulation(
         "turns_per_sec": round(n_total / med, 1),
         "best_turns_per_sec": round(n_total / best, 1),
         "steady_turns_per_sec": round(n_total / steady, 1),
+        "load_gate": load_gate,
     }
 
 
