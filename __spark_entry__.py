@@ -442,6 +442,30 @@ def q_exact_dedup(spark, sf_dir):
     return exact_duplicates(docs)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprints (winnowing, SIGMOD'03) — the
+    partial-copy detection primitive exact/minhash dedup both lack.  Pure
+    per-row array compute, no shuffle (functions/text.winnow_fingerprints);
+    the per-doc digest (count, min, max, xor) pins the ENTIRE selected
+    set value-wise against the SQL twin, order-independently."""
+    from featherstore_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    # explode_outer + ONE hash-aggregate: a 4-column select over the fps
+    # array would re-inline the md5-per-gram expression 4x per row
+    # (CollapseProject; the HOF gotcha).  The aggregate's shuffle rows are
+    # (doc_id, 8-byte hash) with map-side combine — never the text.
+    ex = docs.select(
+        "doc_id", F.explode_outer(winnow_fingerprints("text", k=8, w=4)).alias("fp")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count("fp").alias("n_fps"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.coalesce(F.bit_xor("fp"), F.lit(0).cast("long")).alias("fp_xor"),
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact-Jaccard verification fed by MinHash-LSH candidates — the
     100 TB shape (two equi-joins, no crossJoin; plan asserted in
@@ -573,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "jaccard_pairs": q_jaccard_pairs,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "media_byte_stats": q_media_byte_stats,
@@ -786,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1
         """,
+        "winnow_fingerprints": _WINNOW_ORACLE,
         "jaccard_pairs": _build_minhash_pairs_oracle(threshold=0.8),
         "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "media_byte_stats": """
@@ -832,6 +858,52 @@ _ASOF_ORACLE = """
         ORDER BY f.ts DESC, f.event_id DESC LIMIT 1) AS f_value
     FROM events s WHERE s.event_type = 'click'
 """
+
+def _build_winnow_oracle(k: int = 8, w: int = 4) -> str:
+    """SQL twin of functions/text.winnow_fingerprints + the digest agg in
+    q_winnow_fingerprints.  Same normalize → k-gram → md5_long60 →
+    window-min → distinct pipeline as list comprehensions; the
+    [NULL]-substitution for empty fps mirrors Spark's explode_outer
+    (count skips NULLs → 0, bit_xor of only-NULL → NULL → coalesce 0).
+    Validated cell-identical to a pure-hashlib python reference."""
+    return rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS s
+          FROM documents
+        ), g AS (
+          SELECT doc_id, s,
+                 CASE WHEN length(s) = 0 THEN 0
+                      ELSE greatest(length(s) - {k - 1}, 1) END AS n
+          FROM base
+        ), h AS (
+          SELECT doc_id, n,
+                 CASE WHEN n >= 1 THEN
+                   list_transform(range(1, n + 1),
+                     i -> ('0x' || substring(md5(substring(s, i::INT, {k})), 1, 15))::BIGINT)
+                 ELSE []::BIGINT[] END AS hg,
+                 CASE WHEN n >= 1 THEN greatest(n - {w - 1}, 1) ELSE 0 END AS m
+          FROM g
+        ), mins AS (
+          SELECT doc_id,
+                 CASE WHEN m >= 1 THEN
+                   list_distinct(list_transform(range(1, m + 1),
+                     j -> list_min(list_slice(hg, j::INT, j::INT + {w - 1}))))
+                 ELSE []::BIGINT[] END AS fps
+          FROM h
+        ), ex AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(fps) = 0 THEN [NULL]::BIGINT[] ELSE fps END) AS fp
+          FROM mins
+        )
+        SELECT doc_id, COUNT(fp) AS n_fps, MIN(fp) AS fp_min, MAX(fp) AS fp_max,
+               coalesce(bit_xor(fp), 0)::BIGINT AS fp_xor
+        FROM ex GROUP BY doc_id
+    """
+
+
+_WINNOW_ORACLE = _build_winnow_oracle(k=8, w=4)
+
 
 def _stopword_sql_list() -> str:
     from featherstore_spark.functions.text import ALL_STOPWORDS

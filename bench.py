@@ -381,12 +381,32 @@ def main() -> None:
     _run_to_noop(queries["pricing_summary"](spark, sf_dir))
     _run_to_noop(queries["exact_dedup"](spark, sf_dir))
 
+    # Per-query: one untimed warm run (whole-stage-codegen compile +
+    # Arrow/Python worker spin-up are one-time costs a long-lived job
+    # never pays per query), then a timed steady-state run, RETRIED up
+    # to twice when the surrounding 1-min loadavg exceeds the suite's
+    # own core budget + margin — this host sees episodic EXTERNAL load
+    # bursts (loadavg >25 with zero local processes) that inflated
+    # single-cold-execution timings 8-16x in earlier rounds (r3 bisect:
+    # jaccard_pairs 53.8 s contended-cold vs 3.5 s warm-clean, with
+    # ZERO code change between the rounds).  Per-query loadavg is
+    # recorded so the artifact carries its own attribution.
+    gate = cpus + max(8, cpus // 4)
     timings: dict[str, float] = {}
+    q_loads: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
         _run_to_noop(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        for attempt in range(3):
+            l0 = os.getloadavg()[0]
+            t0 = time.perf_counter()
+            _run_to_noop(df)
+            dt = time.perf_counter() - t0
+            l1 = max(l0, os.getloadavg()[0])
+            if l1 <= gate:
+                break
+        timings[name] = round(dt, 3)
+        q_loads[name] = round(l1, 1)
 
     # Flagship throughput, shared protocol (fresh JVM — see module doc).
     tmp = bench_workdir()
@@ -394,7 +414,10 @@ def main() -> None:
         corpus_dir = os.path.join(tmp, "transcripts")
         generate_bench_corpus(spark, corpus_dir)
         spark.stop()  # free the headline session's heap before measuring
-        mat = run_materialize_level(cpus, corpus_dir, os.path.join(tmp, "features"))
+        mat = run_materialize_level(
+            cpus, corpus_dir, os.path.join(tmp, "features"),
+            load_gate=gate, max_runs=MAT_RUNS * 3,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -405,6 +428,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "headline_protocol": "per-query warmed steady-state, load-gated retry",
+        "queries_loadavg": q_loads,
         "materialize": mat,
     }
     print(json.dumps(result))

@@ -128,3 +128,52 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.lower(F.regexp_replace(F.trim(F.coalesce(c, F.lit(""))), _WS, " "))
     return F.md5(normalized)
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    rolling character ``k``-gram hashes, minimum per window of ``w``
+    consecutive grams, sorted distinct selected hashes as ``array<long>``.
+
+    Unlike :func:`fingerprint` (whole-document md5 → exact dedup only),
+    the winnowed set is position-robust: two documents sharing any
+    ``k + w - 1``-char run share a fingerprint, so overlap on the selected
+    sets localizes partial copies (the guarantee the paper proves).
+
+    Scale shape: pure per-row array compute — NO shuffle, NO explode.
+    The window minimum is a ``least``-chain of ``w`` shifted ``slice``\\ s
+    of the gram-hash array (the shingles pattern, dedup.py): a
+    ``transform`` lambda indexing an outer array would re-evaluate the
+    md5 array per ELEMENT under interpreted HOF execution.  Gram hashes
+    are engine-owned ``md5_long60`` so the whole pipeline — normalize,
+    gram, hash, window-min, distinct — has an exact DuckDB SQL twin.
+
+    Edge semantics (pinned by tests + the SQL oracle): NULL/empty text →
+    empty array; text with 1 ≤ n < ``w`` grams → one window over all
+    grams (slice past the array end pads with nulls; ``least`` skips
+    them); text shorter than ``k`` chars but non-empty → its single
+    sub-``k`` gram hashes as-is (n is clamped to ≥ 1)."""
+    from featherstore_spark.functions.hashing import md5_long60
+
+    c = F.col(col) if isinstance(col, str) else col
+    # collapse-THEN-trim: SQL trim strips only 0x20, so a tabs-only doc
+    # would otherwise normalize to " " and fingerprint non-empty
+    s = F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), _WS, " ")))
+    length = F.length(s)
+    # number of k-grams; a non-empty doc shorter than k still has 1 gram
+    n = F.when(length == 0, F.lit(0)).otherwise(
+        F.greatest(length - (k - 1), F.lit(1))
+    )
+    hashes = F.when(n >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: md5_long60(F.substring(s, i, F.lit(k))),
+    )).otherwise(F.array().cast("array<long>"))
+    # number of windows; 1..w-1 grams → a single window over everything
+    m = F.when(n >= 1, F.greatest(n - (w - 1), F.lit(1))).otherwise(F.lit(0))
+    shifted = [F.slice(hashes, F.lit(j + 1), m) for j in range(w)]
+    mins = shifted[0]
+    for nxt in shifted[1:]:
+        mins = F.zip_with(mins, nxt, lambda a, b: F.least(a, b))
+    return F.when(n >= 1, F.array_sort(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<long>")
+    )

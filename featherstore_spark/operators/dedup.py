@@ -351,6 +351,54 @@ def simhash_near_duplicates(
     )
 
 
+# ------------------------------------------------------------ winnowing --
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_fp_docs: int | None = 1000,
+) -> DataFrame:
+    """Partial-copy detection via winnowing fingerprints
+    (functions/text.winnow_fingerprints): pairs of documents sharing at
+    least ``min_shared`` selected k-gram hashes, with the shared count.
+    Winnowing guarantees any common run of ``k + w - 1`` chars shares a
+    fingerprint, so this catches copied PASSAGES that whole-document
+    hashing (exact) and bag-of-tokens similarity (minhash) both dilute.
+
+    Scale shape: fingerprints are per-row array compute (no shuffle),
+    pairing is an equi-join on the 8-byte fingerprint value.
+    ``max_fp_docs`` drops fingerprints present in more docs than the cap
+    before pairing — a boilerplate k-gram in f docs emits O(f^2) pairs,
+    the same hot-bucket failure mode lsh_candidate_pairs caps; genuinely
+    near-dup pairs still meet through their rarer fingerprints."""
+    from featherstore_spark.functions.text import winnow_fingerprints
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
+    )
+    if max_fp_docs is not None:
+        win = Window.partitionBy("fp")
+        ex = (
+            ex.withColumn("__df", F.count(F.lit(1)).over(win))
+            .where(F.col("__df") <= max_fp_docs)
+            .drop("__df")
+        )
+    a = ex.select(F.col("id").alias("id_a"), "fp")
+    b = ex.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 # ------------------------------------------------------------- embedding --
 
 def embedding_near_duplicates(

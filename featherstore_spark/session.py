@@ -47,18 +47,28 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
     real cluster it is left unset so spark-submit controls it.
     """
-    if master is None:
+    # Under spark-submit the python driver is launched by PythonRunner
+    # with a gateway to a JVM whose conf (master, executors, memory) the
+    # LAUNCHER owns — setting .master() here would silently override
+    # `spark-submit --master yarn` back to local[N].  The gateway env var
+    # is how PySpark itself detects that mode.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # Match local core count; on a cluster this should be
         # ~2-3x total executor cores (AQE coalesces the excess).
         try:
-            shuffle_partitions = int(master.split("[")[1].rstrip("]*")) if "[" in master else 200
+            shuffle_partitions = (
+                int(master.split("[")[1].rstrip("]*")) if master and "[" in master else 200
+            )
         except ValueError:
             shuffle_partitions = 200
 
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     conf = dict(_DEFAULTS)
     # local mode defaults to a 1g JVM heap — far too small for 32 executor
     # threads.  On a real cluster spark-submit owns these; in local mode we

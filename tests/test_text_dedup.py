@@ -225,3 +225,81 @@ def test_simhash_64_alias_warns_and_delegates(spark):
     assert any(issubclass(w.category, DeprecationWarning) for w in rec)
     exp = simhash_60(docs).orderBy("id").collect()
     assert got == exp
+
+
+def _py_winnow(text: str | None, k: int = 8, w: int = 4) -> list[int]:
+    """Pure-hashlib winnowing reference (Schleimer et al. '03, simplified
+    to window-min sets) — the independent twin the Spark column and the
+    DuckDB oracle must both equal."""
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text or "").strip().lower()
+    if not s:
+        return []
+    n = max(len(s) - (k - 1), 1)
+    hs = [int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16) for i in range(n)]
+    m = max(n - (w - 1), 1)
+    return sorted({min(hs[j : j + w]) for j in range(m)})
+
+
+def test_winnow_fingerprints_match_pure_python(spark):
+    """Edge cases pinned: NULL, empty, whitespace-only, shorter-than-k,
+    fewer-grams-than-w, and a normal sentence."""
+    from featherstore_spark.functions.text import winnow_fingerprints
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, None),
+        (3, ""),
+        (4, "   \t  "),
+        (5, "hi"),              # shorter than k=8: one sub-k gram
+        (6, "abcdefghij"),      # n=3 grams < w=4: single window
+        (7, "The  quick\nbrown fox"),  # normalization collapses ws
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["fps"])
+        for r in df.select("doc_id", winnow_fingerprints("text").alias("fps")).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_winnow(text), f"doc {doc_id}"
+    # same normalized text -> same fingerprints regardless of ws layout
+    assert got[7] == _py_winnow("the quick brown fox")
+
+
+def test_winnow_near_duplicates_find_shared_passage(spark):
+    """Two documents sharing a long passage pair up with the exact shared
+    count the python reference computes; unrelated docs do not pair."""
+    from featherstore_spark.operators.dedup import winnow_near_duplicates
+
+    passage = "the seventeen green turtles crossed the silent harbor at dawn"
+    rows = [
+        (1, f"report alpha: {passage} and then some unique trailing text one"),
+        (2, f"totally different preamble before {passage} epilogue two"),
+        (3, "unrelated document about quantum chromodynamics lattice gauge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow_near_duplicates(df, min_shared=3).collect()
+    }
+    fps = {i: set(_py_winnow(t)) for i, t in rows}
+    expected_12 = len(fps[1] & fps[2])
+    assert expected_12 >= 3  # the passage guarantees shared fingerprints
+    assert got == {(1, 2): expected_12}
+
+
+def test_winnow_near_duplicates_hot_fp_cap(spark):
+    """A fingerprint present in more docs than max_fp_docs is dropped
+    before pairing (the O(f^2) boilerplate guard); pairs with other,
+    rarer shared fingerprints survive."""
+    from featherstore_spark.operators.dedup import winnow_near_duplicates
+
+    boiler = "standard corporate header used by absolutely every document"
+    rows = [(i, f"{boiler} unique body number {i}") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_pairs = winnow_near_duplicates(df, min_shared=1, max_fp_docs=None).count()
+    capped = winnow_near_duplicates(df, min_shared=1, max_fp_docs=3).count()
+    assert all_pairs == 15  # 6 docs sharing the boilerplate -> all C(6,2)
+    assert capped == 0      # every shared fp lives in all 6 docs -> dropped
