@@ -54,6 +54,7 @@ HEADLINE = [
     "jaccard_pairs",
     "minhash_near_dups",
     "simhash_near_dups",
+    "winnow_fingerprints",
     "cosine_topk",
     "media_byte_stats",
 ]
@@ -135,22 +136,44 @@ def parse_utilization(evdir: str, app_id: str, w0_ms: float, w1_ms: float, cores
 # measured run would still execute at interpreter/C1 speed (measured
 # 70-190 s vs 14-20 s steady at 8M turns).
 #
-# Contention gating (FS_LOAD_GATE): a measured run whose surrounding
-# 1-min loadavg exceeds the gate is recorded but marked contended and
-# RETRIED (up to FS_MAX_RUNS total) — this box sees episodic EXTERNAL
-# load bursts (loadavg >15 with zero local processes) that inflate wall
-# 3-4x; un-gated medians mix those bursts into the steady figure.
+# Contention gating: a measured run is marked contended and RETRIED (up
+# to FS_MAX_RUNS total) when EITHER
+#   - its surrounding 1-min loadavg exceeds FS_LOAD_GATE (guest-visible
+#     external processes; bursts of loadavg >15 with zero local work
+#     inflate wall 3-4x), OR
+#   - its hypervisor-steal share of BUSY cycles (/proc/stat steal over
+#     total minus idle) exceeds FS_STEAL_GATE (default 10%): steal slows
+#     every task WITHOUT raising guest loadavg or lowering task-slot
+#     utilization — measured 23% wall inflation at loadavg 3.8 and util
+#     0.96, fully explained by the steal counter, and a 10x inflation
+#     whose AGGREGATE steal read only 12% because idle vCPUs diluted it
+#     (hence busy-share, not total-share).  Every run's steal share is
+#     RECORDED and the scaling artifact reports a steal-corrected
+#     (capacity-delivered) efficiency alongside raw.
 # Every run also gets an event-log task-utilization figure so discarded
-# rounds carry their own attribution.  Emits one JSON line.
+# rounds carry their own attribution: low util = plan idle (engine's
+# fault); high util + steal/load = host theft.  Emits one JSON line.
 _MAT_JOB = """
 import json, os, sys, time, shutil
 sys.path.insert(0, {repo!r})
 from featherstore_spark.session import get_spark
 from bench import materialize_job, parse_utilization
 
+def _cpu_totals():
+    # (busy, steal): busy excludes idle+iowait — steal share must be
+    # relative to cycles the guest WANTED, or idle vCPUs dilute it
+    # (a 12% aggregate reading hid ~30% theft on the busy cores)
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = list(map(int, f[1:]))
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - idle, steal
+
 cores = int(sys.argv[1]); corpus = sys.argv[2]; out = sys.argv[3]; heap = sys.argv[4]
 jvm_extra = os.environ.get("FS_JVM_EXTRA", "")
 gate = float(os.environ.get("FS_LOAD_GATE", "inf"))
+steal_gate = float(os.environ.get("FS_STEAL_GATE", "0.10"))
 max_runs = int(os.environ.get("FS_MAX_RUNS", "{runs}"))
 evdir = out + "_evlog"
 os.makedirs(evdir, exist_ok=True)
@@ -160,6 +183,17 @@ extra = {{"spark.driver.memory": heap,
           "spark.eventLog.enabled": "true",
           "spark.eventLog.compress": "false",
           "spark.eventLog.dir": "file://" + evdir,
+          # split scans fine enough that every stage runs multiple task
+          # waves per core: default 128m bin-packing gave the heavy
+          # compute stage 5 tasks on 4 cores (1.25 waves -> one straggler
+          # task idles 3 slots, measured util 0.69 in-stage); 16m yields
+          # >=4 waves and util ~0.9+.  At cluster scale this is the
+          # standard split-to-cores sizing, not a bench trick.
+          "spark.sql.files.maxPartitionBytes": "16m",
+          # same sizing for AQE-coalesced shuffle stages: the 64m default
+          # advisory coalesced the heavy window stage to 5 partitions on
+          # 4 cores (1.25 waves, util 0.69 in-stage)
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
           "spark.local.dir": out + "_local"}}
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=4 * cores,
                   extra_conf=extra, app_name=f"materialize_bench_{{cores}}")
@@ -174,13 +208,17 @@ for i in range({warmups}):
 runs_detail, n_clean = [], 0
 t_start = time.perf_counter()
 while n_clean < {runs} and len(runs_detail) < max_runs:
-    l0 = os.getloadavg()[0]; w0 = time.time() * 1000.0; p0 = time.perf_counter()
+    l0 = os.getloadavg()[0]; c0 = _cpu_totals()
+    w0 = time.time() * 1000.0; p0 = time.perf_counter()
     materialize_job(spark, t, out, cores)
-    dt = time.perf_counter() - p0; w1 = time.time() * 1000.0; l1 = os.getloadavg()[0]
-    ok = max(l0, l1) <= gate
+    dt = time.perf_counter() - p0; w1 = time.time() * 1000.0
+    l1 = os.getloadavg()[0]; c1 = _cpu_totals()
+    steal = (c1[1] - c0[1]) / max(c1[0] - c0[0], 1)
+    ok = max(l0, l1) <= gate and steal <= steal_gate
     n_clean += ok
     runs_detail.append({{"secs": round(dt, 3), "load0": round(l0, 1),
-                         "load1": round(l1, 1), "w0": w0, "w1": w1, "clean": ok}})
+                         "load1": round(l1, 1), "steal": round(steal, 4),
+                         "w0": w0, "w1": w1, "clean": ok}})
     if time.perf_counter() - t_start > {cap}:
         break
 app_id = spark.sparkContext.applicationId
@@ -207,6 +245,8 @@ def run_materialize_level(
     heap: str = "24g",
     load_gate: float | None = None,
     max_runs: int | None = None,
+    taskset_cpus: str | None = None,
+    jvm_extra: str | None = None,
 ) -> dict:
     """One parallelism level of the shared protocol, in a fresh JVM.
     Returns {cores, n_turns, warmup/measured secs, loadavg} plus derived
@@ -220,9 +260,13 @@ def run_materialize_level(
     if load_gate is not None:
         env["FS_LOAD_GATE"] = str(load_gate)
         env["FS_MAX_RUNS"] = str(max_runs or runs * 3)
+    if jvm_extra is not None:
+        env["FS_JVM_EXTRA"] = jvm_extra
+    cmd = [sys.executable, "-c", job, str(cores), corpus, out_dir, heap]
+    if taskset_cpus is not None and shutil.which("taskset"):
+        cmd = ["taskset", "-c", taskset_cpus] + cmd
     res = subprocess.run(
-        [sys.executable, "-c", job, str(cores), corpus, out_dir, heap],
-        check=True, capture_output=True, text=True, cwd=REPO, env=env,
+        cmd, check=True, capture_output=True, text=True, cwd=REPO, env=env,
     )
     r = json.loads(res.stdout.strip().splitlines()[-1])
     measured = r.pop("secs")
@@ -272,7 +316,9 @@ def run_executor_emulation(
     — unpinned runs showed 1.3-1.5x straggler noise from scheduler
     placement.  Per-round wall = max across executors (the straggler
     defines cluster wall time)."""
-    job = _MAT_JOB.format(repo=REPO, warmups=warmups, runs=runs, cap=900)
+    # generous time cap + retry budget: an external steal burst can last
+    # minutes, and every contended run must be re-runnable after it ends
+    job = _MAT_JOB.format(repo=REPO, warmups=warmups, runs=runs, cap=1800)
     n_exec = len(corpus_quarters)
     n_cpus = os.cpu_count() or 32
     cpus_per_exec = max(cores_per_executor, n_cpus // n_exec)
@@ -328,6 +374,256 @@ def run_executor_emulation(
         "turns_per_sec": round(n_total / med, 1),
         "best_turns_per_sec": round(n_total / best, 1),
         "steady_turns_per_sec": round(n_total / steady, 1),
+        "load_gate": load_gate,
+    }
+
+
+# Paired-round worker: a LONG-LIVED JVM that warms up once, then executes
+# one measured run per file-coordinated "go" token.  The driver alternates
+# N-run / solo-run / 4N-round inside the same ~60 s window, so both sides
+# of each efficiency ratio see the SAME host weather — sequential-phase
+# designs measured 0.27..0.84 for identical code purely from hypervisor
+# steal drifting between phases minutes apart.
+_PAIRED_WORKER = """
+import json, os, sys, time, shutil, glob
+sys.path.insert(0, {repo!r})
+from featherstore_spark.session import get_spark
+from bench import materialize_job, parse_utilization
+
+cores = int(sys.argv[1]); corpus = sys.argv[2]; out = sys.argv[3]
+heap = sys.argv[4]; wid = sys.argv[5]; coord = sys.argv[6]
+jvm_extra = os.environ.get("FS_JVM_EXTRA", "")
+gate = float(os.environ.get("FS_LOAD_GATE", "inf"))
+steal_gate = float(os.environ.get("FS_STEAL_GATE", "0.10"))
+deadline = time.time() + float(os.environ.get("FS_PAIR_TIMEOUT", "2400"))
+
+def cpu_totals():
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = list(map(int, f[1:]))
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return sum(vals) - idle, vals[7] if len(vals) > 7 else 0
+
+evdir = out + "_evlog"
+os.makedirs(evdir, exist_ok=True)
+extra = {{"spark.driver.memory": heap,
+          "spark.driver.extraJavaOptions": ("-XX:+UseG1GC " + jvm_extra).strip(),
+          "spark.ui.enabled": "false",
+          "spark.eventLog.enabled": "true",
+          "spark.eventLog.compress": "false",
+          "spark.eventLog.dir": "file://" + evdir,
+          "spark.sql.files.maxPartitionBytes": "16m",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+          "spark.local.dir": out + "_local"}}
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=4 * cores,
+                  extra_conf=extra, app_name=f"paired_{{wid}}")
+spark.sparkContext.setLogLevel("ERROR")
+t = spark.read.parquet(corpus)
+n = t.count()
+for _ in range({warmups}):
+    materialize_job(spark, t, out, cores)
+with open(os.path.join(coord, f"meta_{{wid}}.json"), "w") as fh:
+    json.dump({{"n_turns": n}}, fh)
+
+rows, seq = [], 0
+while time.time() < deadline:
+    if os.path.exists(os.path.join(coord, "stop")):
+        break
+    go = os.path.join(coord, f"go_{{seq}}_{{wid}}")
+    if not os.path.exists(go):
+        time.sleep(0.2)
+        continue
+    l0 = os.getloadavg()[0]; c0 = cpu_totals()
+    w0 = time.time() * 1000.0; p0 = time.perf_counter()
+    materialize_job(spark, t, out, cores)
+    dt = time.perf_counter() - p0; w1 = time.time() * 1000.0
+    l1 = os.getloadavg()[0]; c1 = cpu_totals()
+    steal = (c1[1] - c0[1]) / max(c1[0] - c0[0], 1)
+    row = {{"seq": seq, "secs": round(dt, 3), "load0": round(l0, 1),
+            "load1": round(l1, 1), "steal": round(steal, 4),
+            "w0": w0, "w1": w1,
+            "clean": bool(max(l0, l1) <= gate and steal <= steal_gate)}}
+    rows.append(row)
+    with open(os.path.join(coord, f"done_{{seq}}_{{wid}}.json"), "w") as fh:
+        json.dump(row, fh)
+    seq += 1
+
+app_id = spark.sparkContext.applicationId
+spark.stop()
+for r in rows:
+    r["util"] = parse_utilization(evdir, app_id, r.pop("w0"), r.pop("w1"), cores)
+shutil.rmtree(out, ignore_errors=True)
+shutil.rmtree(out + "_local", ignore_errors=True)
+shutil.rmtree(evdir, ignore_errors=True)
+with open(os.path.join(coord, f"final_{{wid}}.json"), "w") as fh:
+    json.dump({{"n_turns": n, "rows": rows}}, fh)
+"""
+
+
+def run_paired_scaling(
+    corpus: str,
+    corpus_quarters: list[str],
+    workdir: str,
+    cores_per_executor: int = 4,
+    warmups: int = MAT_WARMUPS,
+    target_clean: int = MAT_RUNS,
+    max_rounds: int | None = None,
+    load_gate: float | None = None,
+) -> dict:
+    """PAIRED N vs 4N measurement: one long-lived N JVM (full corpus) and
+    four long-lived executor JVMs (hash-disjoint quarters), all warmed
+    once, then per ROUND: N runs once, executor 0 runs its quarter SOLO
+    (weak-scaling numerator), then all four executors run CONCURRENTLY.
+    The three phases of a round land inside the same ~60 s window, so the
+    efficiency ratio is immune to the host-weather drift that biases
+    sequential-phase designs (hypervisor steal varies on a minutes scale;
+    it inflated or deflated phase ratios by +-0.2 for identical code).
+    A round is CLEAN when every participating run passed both the loadavg
+    and busy-cycle-steal gates; rounds repeat until ``target_clean`` clean
+    rounds or ``max_rounds``."""
+    max_rounds = max_rounds or target_clean * 3
+    coord = os.path.join(workdir, "paired_coord")
+    shutil.rmtree(coord, ignore_errors=True)
+    os.makedirs(coord)
+    job = _PAIRED_WORKER.format(repo=REPO, warmups=warmups)
+    n_cpus = os.cpu_count() or 32
+    cpus_per_exec = max(cores_per_executor, n_cpus // len(corpus_quarters))
+    have_taskset = shutil.which("taskset") is not None
+
+    def _launch(wid, cores, src, heap, pin_lo):
+        cmd = [sys.executable, "-c", job, str(cores), src,
+               os.path.join(workdir, f"paired_out_{wid}"), heap, wid, coord]
+        if have_taskset and pin_lo is not None:
+            cmd = ["taskset", "-c", f"{pin_lo}-{pin_lo + cpus_per_exec - 1}"] + cmd
+        env = dict(os.environ)
+        env["FS_JVM_EXTRA"] = f"-XX:ActiveProcessorCount={cpus_per_exec}"
+        if load_gate is not None:
+            env["FS_LOAD_GATE"] = str(load_gate)
+        return subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL, cwd=REPO, env=env)
+
+    # N shares executor 0's pinning (it is the same hardware slice role);
+    # executors each get a disjoint vCPU range.
+    procs = [_launch("N", cores_per_executor, corpus, "24g", 0)]
+    for i, q in enumerate(corpus_quarters):
+        procs.append(_launch(f"e{i}", cores_per_executor, q, "12g", i * cpus_per_exec))
+
+    def _wait_file(path, timeout_s=600.0):
+        t0 = time.time()
+        while not os.path.exists(path):
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError(f"paired-scaling worker file never appeared: {path}")
+            if any(p.poll() is not None for p in procs):
+                raise RuntimeError("paired-scaling worker died")
+            time.sleep(0.2)
+
+    def _read(path):
+        with open(path) as fh:
+            return json.load(fh)
+
+    wids = ["N"] + [f"e{i}" for i in range(len(corpus_quarters))]
+    try:
+        for w in wids:
+            _wait_file(os.path.join(coord, f"meta_{w}.json"), timeout_s=1200.0)
+        metas = {w: _read(os.path.join(coord, f"meta_{w}.json")) for w in wids}
+
+        seq = {w: 0 for w in wids}
+
+        def _go(ws):
+            for w in ws:
+                open(os.path.join(coord, f"go_{seq[w]}_{w}"), "w").close()
+
+        def _collect(ws):
+            out = {}
+            for w in ws:
+                p = os.path.join(coord, f"done_{seq[w]}_{w}.json")
+                _wait_file(p)
+                out[w] = _read(p)
+                seq[w] += 1
+            return out
+
+        execs = wids[1:]
+        rounds = []
+        n_clean = 0
+        # one discarded SETTLE round first: even after per-JVM warmups,
+        # the first coordinated round still pays residual compilation /
+        # page-cache settling (a 3x straggler was observed in round 0
+        # and nowhere after); it is listed in the detail but never
+        # counted — the same role the per-level warmups play elsewhere
+        settle = True
+        while n_clean < target_clean and len(rounds) < max_rounds + 1:
+            _go(["N"]); r_n = _collect(["N"])["N"]
+            _go(["e0"]); r_solo = _collect(["e0"])["e0"]
+            _go(execs); r_conc = _collect(execs)
+            clean = (not settle) and r_n["clean"] and r_solo["clean"] and all(
+                r["clean"] for r in r_conc.values()
+            )
+            n_clean += clean
+            rounds.append({"n": r_n, "solo": r_solo, "conc": r_conc,
+                           "clean": clean, "settle": settle})
+            settle = False
+    finally:
+        open(os.path.join(coord, "stop"), "w").close()
+        finals = {}
+        for w in wids:
+            # plain existence wait: workers EXIT right after writing their
+            # final file, so checking process liveness here races — a
+            # fast worker's normal exit must not discard a slow worker's
+            # still-materializing final (it cost every util column once)
+            fp = os.path.join(coord, f"final_{w}.json")
+            t0 = time.time()
+            while not os.path.exists(fp) and time.time() - t0 < 180.0:
+                time.sleep(0.2)
+            try:
+                finals[w] = _read(fp)
+            except Exception:
+                finals[w] = None
+        for p in procs:
+            try:
+                p.wait(timeout=60)
+            except Exception:
+                p.kill()
+
+    # enrich rows with utilization from the finals (matched by seq)
+    def _util(w, s):
+        f = finals.get(w)
+        if not f:
+            return None
+        for r in f["rows"]:
+            if r["seq"] == s:
+                return r.get("util")
+        return None
+
+    for rd in rounds:
+        rd["n"]["util"] = _util("N", rd["n"]["seq"])
+        rd["solo"]["util"] = _util("e0", rd["solo"]["seq"])
+        for w, r in rd["conc"].items():
+            r["util"] = _util(w, r["seq"])
+
+    n_full = metas["N"]["n_turns"]
+    n_total_q = sum(metas[w]["n_turns"] for w in execs)
+    for rd in rounds:
+        wall_conc = max(r["secs"] for r in rd["conc"].values())
+        rd["wall_conc"] = round(wall_conc, 3)
+        rd["strong_eff"] = round(
+            (n_total_q / wall_conc) / (4 * n_full / rd["n"]["secs"]), 4
+        )
+        rd["weak_eff"] = round(rd["solo"]["secs"] / rd["conc"]["e0"]["secs"], 4)
+
+    clean_rounds = [rd for rd in rounds if rd["clean"]] or rounds
+    strong = statistics.median(rd["strong_eff"] for rd in clean_rounds)
+    weak = statistics.median(rd["weak_eff"] for rd in clean_rounds)
+    return {
+        "rounds": rounds,
+        "n_rounds": len(rounds),
+        "n_clean_rounds": sum(rd["clean"] for rd in rounds),
+        "n_turns_full": n_full,
+        "n_turns_quarters": n_total_q,
+        "strong_eff": round(strong, 4),
+        "weak_eff": round(weak, 4),
+        "n_wall": statistics.median(rd["n"]["secs"] for rd in clean_rounds),
+        "conc_wall": statistics.median(rd["wall_conc"] for rd in clean_rounds),
+        "solo_wall": statistics.median(rd["solo"]["secs"] for rd in clean_rounds),
         "load_gate": load_gate,
     }
 
@@ -392,6 +688,14 @@ def main() -> None:
     # ZERO code change between the rounds).  Per-query loadavg is
     # recorded so the artifact carries its own attribution.
     gate = cpus + max(8, cpus // 4)
+
+    def _cpu_totals() -> tuple[int, int]:
+        # (busy, steal) — steal share over busy cycles, as in _MAT_JOB
+        with open("/proc/stat") as fh:
+            vals = list(map(int, fh.readline().split()[1:]))
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals) - idle, vals[7] if len(vals) > 7 else 0
+
     timings: dict[str, float] = {}
     q_loads: dict[str, float] = {}
     for name in HEADLINE:
@@ -399,11 +703,16 @@ def main() -> None:
         _run_to_noop(df)
         for attempt in range(3):
             l0 = os.getloadavg()[0]
+            c0 = _cpu_totals()
             t0 = time.perf_counter()
             _run_to_noop(df)
             dt = time.perf_counter() - t0
+            c1 = _cpu_totals()
             l1 = max(l0, os.getloadavg()[0])
-            if l1 <= gate:
+            steal = (c1[1] - c0[1]) / max(c1[0] - c0[0], 1)
+            # retry on guest-visible load OR hypervisor steal (slows
+            # tasks without raising guest loadavg)
+            if l1 <= gate and steal <= 0.10:
                 break
         timings[name] = round(dt, 3)
         q_loads[name] = round(l1, 1)

@@ -88,6 +88,8 @@ def streaming_cumulative_features(
     stream: DataFrame,
     entity_col: str = "conv_id",
     ts_col: str = "ts",
+    out_of_order: str = "error",
+    max_buffer: int = 10_000,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
     per-conversation running counters (cum_turns, cum_tool_calls — the
@@ -97,18 +99,31 @@ def streaming_cumulative_features(
 
     This is the pattern for operators Spark's windowed streaming
     aggregates cannot express (running per-row state emitted per input
-    row).  State per key is three longs — O(active conversations) in the
-    state store, not O(turns).
+    row).  State per key is three longs plus (in buffer mode) the pending
+    reorder buffer — O(active conversations), not O(turns).
 
-    Ordering contract, ENFORCED not assumed: rows within a micro-batch
-    are sorted by turn_idx before accumulating, and the state carries the
-    highest turn_idx already consumed per conversation — a later micro-
-    batch delivering an earlier-or-equal turn (out-of-order arrival,
-    replayed turn) raises immediately instead of silently producing wrong
-    cumulative counters.  Out-of-order backfills go through the batch
-    checkpoint path instead (plans/checkpoint.py), which recomputes whole
-    buckets and cannot double-count.
+    Ordering contract, ENFORCED not assumed.  ``out_of_order``:
+
+    - ``"error"`` (default): rows within a micro-batch are sorted by
+      turn_idx; a later micro-batch delivering an already-consumed
+      turn_idx raises immediately instead of silently producing wrong
+      cumulative counters.  Out-of-order backfills go through the batch
+      checkpoint path (plans/checkpoint.py), which recomputes whole
+      buckets and cannot double-count.
+    - ``"buffer"``: a reorder buffer rides per-key state — rows beyond a
+      gap are HELD, and each batch emits exactly the maximal contiguous
+      run of turn_idx continuing from the last consumed turn.  Output is
+      then identical to in-order arrival regardless of inter-batch
+      shuffling.  Requires DENSE per-conversation turn_idx (0,1,2,...),
+      which the transcript schema guarantees; a duplicate turn or a
+      buffer exceeding ``max_buffer`` rows (a hole that never fills)
+      still raises — unbounded silent buffering is just the silent-wrong
+      failure mode wearing a different hat.
     """
+    if out_of_order not in ("error", "buffer"):
+        raise ValueError(f"out_of_order must be 'error' or 'buffer', got {out_of_order!r}")
+
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -127,13 +142,32 @@ def streaming_cumulative_features(
             T.StructField("cum_turns", T.LongType()),
             T.StructField("cum_tool_calls", T.LongType()),
             T.StructField("max_turn_idx", T.LongType()),
+            # reorder buffer (empty in "error" mode): parallel arrays keep
+            # the state schema flat/fixed — ts as epoch µs longs
+            T.StructField("buf_turn", T.ArrayType(T.LongType())),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_tool", T.ArrayType(T.BooleanType())),
         ]
     )
 
-    def update(key, pdfs, state: GroupState):
+    def _emit(key, pdf, turns, tools):
         import numpy as np
 
-        turns, tools, max_seen = state.get if state.exists else (0, 0, -1)
+        is_tool = pdf["tool_flag"].astype("int64")
+        return pd.DataFrame(
+            {
+                entity_col: key[0],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                ts_col: pdf[ts_col],
+                "cum_turns": turns + np.arange(1, len(pdf) + 1, dtype="int64"),
+                "cum_tool_calls": tools + is_tool.cumsum(),
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        turns, tools, max_seen, bt, bts, btool = (
+            state.get if state.exists else (0, 0, -1, [], [], [])
+        )
         # reset_index after the sort: DataFrame construction aligns Series
         # by index, so sorted Series + positional arrays would interleave
         pdf = (
@@ -143,30 +177,70 @@ def streaming_cumulative_features(
         )
         if len(pdf) == 0:  # pragma: no cover - NoTimeout never calls with empty
             return
-        # fail LOUDLY on out-of-order arrival across micro-batches (and on
-        # a replayed/duplicated turn): silent wrong counters are the worst
-        # failure mode of running state
-        first = int(pdf["turn_idx"].iloc[0])
-        if first <= max_seen:
+        pdf["tool_flag"] = pdf["tool"].notna()
+        # pin ns resolution: pandas 2 + Arrow may deliver datetime64[us],
+        # and the buffer round-trips ts through epoch integers
+        pdf[ts_col] = pdf[ts_col].astype("datetime64[ns]")
+
+        if out_of_order == "error":
+            # fail LOUDLY on out-of-order arrival across micro-batches (and
+            # on a replayed/duplicated turn): silent wrong counters are the
+            # worst failure mode of running state
+            first = int(pdf["turn_idx"].iloc[0])
+            if first <= max_seen:
+                raise ValueError(
+                    f"out-of-order arrival for {key}: turn_idx {first} after "
+                    f"already-consumed turn_idx {max_seen}; replay/backfill must "
+                    "go through the batch checkpoint path (plans/checkpoint.py)"
+                )
+            out = _emit(key, pdf, turns, tools)
+            state.update((turns + len(pdf), tools + int(pdf["tool_flag"].sum()),
+                          int(pdf["turn_idx"].iloc[-1]), [], [], []))
+            yield out
+            return
+
+        # buffer mode: merge buffered + incoming, emit the maximal
+        # contiguous run from max_seen + 1, hold the rest
+        buf = pd.DataFrame({
+            "turn_idx": pd.Series(bt, dtype="int64"),
+            ts_col: pd.to_datetime(pd.Series(bts, dtype="int64"), unit="us"),
+            "tool_flag": pd.Series(btool, dtype="bool"),
+        })
+        merged = (
+            pd.concat(
+                [buf, pdf[["turn_idx", ts_col, "tool_flag"]]], ignore_index=True
+            )
+            .sort_values("turn_idx")
+            .reset_index(drop=True)
+        )
+        ti = merged["turn_idx"].astype("int64")
+        if int(ti.iloc[0]) <= max_seen or ti.duplicated().any():
             raise ValueError(
-                f"out-of-order arrival for {key}: turn_idx {first} after "
-                f"already-consumed turn_idx {max_seen}; replay/backfill must go "
+                f"duplicate/replayed turn for {key}: turn_idx "
+                f"{int(ti.iloc[0])} vs consumed {max_seen} — replay must go "
                 "through the batch checkpoint path (plans/checkpoint.py)"
             )
-        is_tool = pdf["tool"].notna().astype("int64")
-        out = pd.DataFrame(
-            {
-                entity_col: pdf[entity_col],
-                "turn_idx": pdf["turn_idx"],
-                ts_col: pdf[ts_col],
-                "cum_turns": turns + np.arange(1, len(pdf) + 1, dtype="int64"),
-                "cum_tool_calls": tools + is_tool.cumsum(),
-            }
+        # contiguous prefix: positions where turn_idx == max_seen+1+position
+        contiguous = (ti.to_numpy() == max_seen + 1 + np.arange(len(ti))).cumprod().astype(bool)
+        ready, held = merged[contiguous], merged[~contiguous]
+        if len(held) > max_buffer:
+            raise ValueError(
+                f"reorder buffer for {key} exceeds max_buffer={max_buffer} "
+                f"({len(held)} rows held waiting for turn_idx {max_seen + len(ready) + 1}) "
+                "— the gap turn likely never arrived; backfill via the batch "
+                "checkpoint path (plans/checkpoint.py)"
+            )
+        new_state = (
+            turns + len(ready),
+            tools + int(ready["tool_flag"].sum()),
+            max_seen + len(ready),
+            held["turn_idx"].astype("int64").tolist(),
+            (held[ts_col].astype("int64") // 1000).tolist(),  # ns -> µs
+            held["tool_flag"].tolist(),
         )
-        state.update(
-            (turns + len(pdf), tools + int(is_tool.sum()), int(pdf["turn_idx"].iloc[-1]))
-        )
-        yield out
+        state.update(new_state)
+        if len(ready):
+            yield _emit(key, ready, turns, tools)
 
     return stream.groupBy(entity_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

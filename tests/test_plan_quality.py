@@ -107,3 +107,27 @@ def test_hash_pipelines_have_no_python(spark):
         assert "ArrowEvalPython" not in plan, q
         assert "FlatMapGroupsInPandas" not in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_winnow_fingerprints_single_shuffle_no_python(spark):
+    """The fingerprint digest is ONE hash-aggregate over the exploded
+    selected hashes: exactly one exchange (the groupBy), no pandas/python
+    eval anywhere, no join.  The md5-per-gram compute stays inside the
+    per-row array expressions."""
+    df = entry_mod.q_winnow_fingerprints(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "InPandas" not in plan
+    assert "Join" not in plan
+
+
+def test_winnow_near_dups_no_cross_join(spark):
+    """Pairing is an equi-join on the 8-byte fingerprint value — never a
+    cartesian/BNLJ, at any max_fp_docs setting."""
+    from featherstore_spark.operators.dedup import winnow_near_duplicates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for cap in (None, 100):
+        plan = _plan(winnow_near_duplicates(docs, min_shared=3, max_fp_docs=cap))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

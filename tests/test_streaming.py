@@ -144,3 +144,80 @@ def test_stateful_rejects_out_of_order_arrival(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="out-of-order arrival"):
         q2.awaitTermination(120)
+
+
+def test_stateful_buffer_mode_reorders_to_batch_equality(spark, tmp_path):
+    """out_of_order='buffer': late-half-first arrival is HELD in per-key
+    state and emitted once the gap fills — final output identical to
+    in-order arrival (and to the batch cumulative computation)."""
+    from featherstore_spark.datagen import generate_transcripts
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_cumulative_features,
+    )
+
+    full = generate_transcripts(spark, n_convs=6, mean_turns=12, seed=9).cache()
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    # late half first: everything lands in the reorder buffer, nothing emits
+    full.where(F.col("turn_idx") >= 5).coalesce(1).write.parquet(src)
+    q = run_stream_to_table(
+        streaming_cumulative_features(
+            read_transcript_stream(spark, src), out_of_order="buffer"
+        ),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    # early turns arrive: buffer drains, all rows emit with correct counters
+    full.where(F.col("turn_idx") < 5).coalesce(1).write.mode("append").parquet(src)
+    q2 = run_stream_to_table(
+        streaming_cumulative_features(
+            read_transcript_stream(spark, src), out_of_order="buffer"
+        ),
+        out, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()[["conv_id", "turn_idx", "cum_turns", "cum_tool_calls"]]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    exp = (
+        full.select(
+            "conv_id", "turn_idx",
+            F.count(F.lit(1)).over(w).alias("cum_turns"),
+            F.sum(F.col("tool").isNotNull().cast("long")).over(w).alias("cum_tool_calls"),
+        )
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_stateful_buffer_mode_caps_held_rows(spark, tmp_path):
+    """A hole that never fills must not buffer unboundedly: exceeding
+    max_buffer raises instead of silently holding state forever."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from featherstore_spark.datagen import generate_transcripts
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_cumulative_features,
+    )
+
+    full = generate_transcripts(spark, n_convs=4, mean_turns=12, seed=9).cache()
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    full.where(F.col("turn_idx") >= 5).coalesce(1).write.parquet(src)
+    q = run_stream_to_table(
+        streaming_cumulative_features(
+            read_transcript_stream(spark, src), out_of_order="buffer", max_buffer=3
+        ),
+        out, ckpt,
+    )
+    with pytest.raises(StreamingQueryException, match="max_buffer"):
+        q.awaitTermination(120)
