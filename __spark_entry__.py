@@ -448,16 +448,14 @@ def q_winnow_fingerprints(spark, sf_dir):
     per-row array compute, no shuffle (functions/text.winnow_fingerprints);
     the per-doc digest (count, min, max, xor) pins the ENTIRE selected
     set value-wise against the SQL twin, order-independently."""
-    from featherstore_spark.functions.text import winnow_fingerprints
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
 
     docs = _t(spark, sf_dir, "documents")
-    # explode_outer + ONE hash-aggregate: a 4-column select over the fps
-    # array would re-inline the md5-per-gram expression 4x per row
-    # (CollapseProject; the HOF gotcha).  The aggregate's shuffle rows are
-    # (doc_id, 8-byte hash) with map-side combine — never the text.
-    ex = docs.select(
-        "doc_id", F.explode_outer(winnow_fingerprints("text", k=8, w=4)).alias("fp")
-    )
+    # explode + window-min + hash-aggregate (the scale path): only
+    # (doc_id, 8-byte hash) rows ever shuffle — never the text.  The
+    # array-valued winnow_fingerprints is O(len^2)/doc under interpreted
+    # HOF re-evaluation (69 s vs ~2 s at sf0.1).
+    ex = winnow_fingerprint_rows(docs, "doc_id", "text", k=8, w=4)
     return ex.groupBy("doc_id").agg(
         F.count("fp").alias("n_fps"),
         F.min("fp").alias("fp_min"),

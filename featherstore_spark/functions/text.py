@@ -130,6 +130,66 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints as DISTINCT ``(id_col, fp)`` rows — the
+    scale path (use this, not the array-valued :func:`winnow_fingerprints`,
+    for anything beyond small documents).
+
+    Shape: normalize once per row → ``posexplode`` the gram positions →
+    hash each gram (``md5_long60``, whole-stage codegen) → window MIN over
+    the next ``w`` grams (one 8-byte-hash exchange per doc — the TEXT
+    never shuffles: the gram hash is projected before the window
+    exchange) → distinct.  This replaces an earlier pure-array form whose
+    interpreted ``transform`` lambda re-evaluated the normalization
+    expression per ELEMENT (the HOF pitfall dedup.shingles documents) —
+    measured 69 s vs ~2 s on 5k docs.
+
+    Empty/NULL text keeps one ``(id, NULL)`` row (explode_outer), so
+    downstream ``COUNT(fp)`` semantics match the SQL oracle's
+    ``[NULL]``-substitution."""
+    from featherstore_spark.functions.hashing import md5_long60
+
+    c = F.col(text_col)
+    s = F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), _WS, " ")))
+    length = F.length(s)
+    n = F.when(length == 0, F.lit(0)).otherwise(
+        F.greatest(length - (k - 1), F.lit(1))
+    )
+    base = df.select(F.col(id_col), s.alias("__s"), n.alias("__n"))
+    grams = base.select(
+        id_col,
+        "__n",
+        F.explode_outer(
+            F.when(F.col("__n") >= 1, F.sequence(F.lit(1), F.col("__n")))
+        ).alias("__i"),
+        # hash computed HERE, pre-window: only (id, __i, __n, 8-byte __h)
+        # reach the window exchange; __s is pruned before the shuffle
+        md5_long60(F.substring(F.col("__s"), F.col("__i"), F.lit(k))).alias("__h"),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    m = F.greatest(F.col("__n") - (w - 1), F.lit(1))
+    return (
+        grams.withColumn("fp", F.min("__h").over(win))
+        # windows starting past m would re-select suffix minima the paper's
+        # scheme does not emit; NULL __i (empty doc) must survive
+        .where((F.col("__i") <= m) | F.col("__i").isNull())
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     rolling character ``k``-gram hashes, minimum per window of ``w``
@@ -140,13 +200,12 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     ``k + w - 1``-char run share a fingerprint, so overlap on the selected
     sets localizes partial copies (the guarantee the paper proves).
 
-    Scale shape: pure per-row array compute — NO shuffle, NO explode.
-    The window minimum is a ``least``-chain of ``w`` shifted ``slice``\\ s
-    of the gram-hash array (the shingles pattern, dedup.py): a
-    ``transform`` lambda indexing an outer array would re-evaluate the
-    md5 array per ELEMENT under interpreted HOF execution.  Gram hashes
-    are engine-owned ``md5_long60`` so the whole pipeline — normalize,
-    gram, hash, window-min, distinct — has an exact DuckDB SQL twin.
+    CONVENIENCE form for small documents/corpora: interpreted HOF
+    execution re-evaluates the outer normalization per element, so cost
+    grows O(len^2) per document — corpus-scale pipelines must use
+    :func:`winnow_fingerprint_rows` (explode + window-min, codegen,
+    hash-only shuffle), which produces the identical fingerprint set
+    (equivalence-tested).
 
     Edge semantics (pinned by tests + the SQL oracle): NULL/empty text →
     empty array; text with 1 ≤ n < ``w`` grams → one window over all

@@ -369,17 +369,19 @@ def winnow_near_duplicates(
     fingerprint, so this catches copied PASSAGES that whole-document
     hashing (exact) and bag-of-tokens similarity (minhash) both dilute.
 
-    Scale shape: fingerprints are per-row array compute (no shuffle),
+    Scale shape: fingerprints come from the explode + window-min rows
+    pipeline (text.winnow_fingerprint_rows — codegen, hash-only shuffle),
     pairing is an equi-join on the 8-byte fingerprint value.
     ``max_fp_docs`` drops fingerprints present in more docs than the cap
     before pairing — a boilerplate k-gram in f docs emits O(f^2) pairs,
     the same hot-bucket failure mode lsh_candidate_pairs caps; genuinely
     near-dup pairs still meet through their rarer fingerprints."""
-    from featherstore_spark.functions.text import winnow_fingerprints
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
 
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
+    ex = (
+        winnow_fingerprint_rows(df, id_col, text_col, k, w)
+        .where(F.col("fp").isNotNull())  # empty docs pair with nothing
+        .select(F.col(id_col).alias("id"), "fp")
     )
     if max_fp_docs is not None:
         win = Window.partitionBy("fp")

@@ -109,16 +109,18 @@ def test_hash_pipelines_have_no_python(spark):
         assert "CartesianProduct" not in plan, q
 
 
-def test_winnow_fingerprints_single_shuffle_no_python(spark):
-    """The fingerprint digest is ONE hash-aggregate over the exploded
-    selected hashes: exactly one exchange (the groupBy), no pandas/python
-    eval anywhere, no join.  The md5-per-gram compute stays inside the
-    per-row array expressions."""
+def test_winnow_fingerprints_hash_only_shuffle_no_python(spark):
+    """Explode + window-min + aggregates: no pandas/python eval anywhere,
+    no join, and — the 100 TB property — the TEXT never shuffles: every
+    exchange carries only the id + 8-byte gram hash (the normalized-text
+    column is projected away before the window exchange)."""
     df = entry_mod.q_winnow_fingerprints(spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan and "InPandas" not in plan
     assert "Join" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__s" not in line and "text" not in line, line
 
 
 def test_winnow_near_dups_no_cross_join(spark):

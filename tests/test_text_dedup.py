@@ -303,3 +303,30 @@ def test_winnow_near_duplicates_hot_fp_cap(spark):
     capped = winnow_near_duplicates(df, min_shared=1, max_fp_docs=3).count()
     assert all_pairs == 15  # 6 docs sharing the boilerplate -> all C(6,2)
     assert capped == 0      # every shared fp lives in all 6 docs -> dropped
+
+
+def test_winnow_fingerprint_rows_equivalent_to_reference(spark):
+    """The explode+window scale path emits exactly the same distinct
+    fingerprint sets as the pure-python reference (and hence as the
+    array-valued convenience form), including the edge corpus."""
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, None),
+        (3, ""),
+        (4, "   \t  "),
+        (5, "hi"),
+        (6, "abcdefghij"),
+        (7, "The  quick\nbrown fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in winnow_fingerprint_rows(df).collect():
+        got.setdefault(r["doc_id"], []).append(r["fp"])
+    for doc_id, text in rows:
+        exp = _py_winnow(text)
+        if not exp:
+            assert got[doc_id] == [None], f"doc {doc_id}"  # kept via explode_outer
+        else:
+            assert sorted(got[doc_id]) == exp, f"doc {doc_id}"
