@@ -444,23 +444,30 @@ def q_exact_dedup(spark, sf_dir):
 
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash document fingerprints (winnowing, SIGMOD'03) — the
-    partial-copy detection primitive exact/minhash dedup both lack.  Pure
-    per-row array compute, no shuffle (functions/text.winnow_fingerprints);
-    the per-doc digest (count, min, max, xor) pins the ENTIRE selected
+    partial-copy detection primitive exact/minhash dedup both lack.
+    ZERO-shuffle scale path (functions/text.winnow_fingerprint_set):
+    fingerprint sets come out of one vectorized pandas UDF computed where
+    the text lives (numpy sliding-window minimum; no explode, no window
+    exchange, no groupBy — the digest reads the sorted array directly).
+    The per-doc digest (count, min, max, xor) pins the ENTIRE selected
     set value-wise against the SQL twin, order-independently."""
-    from featherstore_spark.functions.text import winnow_fingerprint_rows
+    from featherstore_spark.functions.text import winnow_fingerprint_set
 
     docs = _t(spark, sf_dir, "documents")
-    # explode + window-min + hash-aggregate (the scale path): only
-    # (doc_id, 8-byte hash) rows ever shuffle — never the text.  The
-    # array-valued winnow_fingerprints is O(len^2)/doc under interpreted
-    # HOF re-evaluation (69 s vs ~2 s at sf0.1).
-    ex = winnow_fingerprint_rows(docs, "doc_id", "text", k=8, w=4)
-    return ex.groupBy("doc_id").agg(
-        F.count("fp").alias("n_fps"),
-        F.min("fp").alias("fp_min"),
-        F.max("fp").alias("fp_max"),
-        F.coalesce(F.bit_xor("fp"), F.lit(0).cast("long")).alias("fp_xor"),
+    fps = docs.select(
+        "doc_id", winnow_fingerprint_set("text", k=8, w=4).alias("fps")
+    )
+    # `fps` is an ArrowEvalPython output attribute: referencing it four
+    # times below evaluates the UDF ONCE (unlike plain expressions, which
+    # CollapseProject would re-inline per reference).
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+        F.aggregate(
+            "fps", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("fp_xor"),
     )
 
 

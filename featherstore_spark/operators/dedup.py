@@ -32,11 +32,36 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featherstore_spark.functions.hashing import MERSENNE31, md5_long60, minhash_coeffs
 from featherstore_spark.functions.text import fingerprint, ws_tokens
+
+
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop every row whose ``keys`` value occurs more than ``cap`` times.
+
+    Skew-safe by construction (VERDICT r3 #2): frequencies come from a
+    map-side-combinable ``groupBy(keys).count()`` — each task pre-reduces
+    its rows to one partial per key, so the hottest key shuffles O(tasks)
+    partials, never its full row set.  The over-cap key list is tiny
+    (boilerplate keys only) and broadcast for the anti-join.  The naive
+    alternative, ``count().over(Window.partitionBy(keys))``, has NO
+    partial aggregation: every row of the hottest key lands in ONE task
+    before the cap can drop it — the cap itself becomes the straggler.
+
+    ``df`` is evaluated twice (count pass + anti-join pass); when it is a
+    branch of a shuffle-producing plan (e.g. the minhash signature
+    aggregate), Spark's ReuseExchange serves the second pass from the
+    first's shuffle files."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__kf"))
+        .where(F.col("__kf") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
 
 
 # ----------------------------------------------------------------- exact --
@@ -213,12 +238,7 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
     if max_bucket_size is not None:
-        w = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("__sz", F.count(F.lit(1)).over(w))
-            .where(F.col("__sz") <= max_bucket_size)
-            .drop("__sz")
-        )
+        banded = _drop_hot_keys(banded, ["band_idx", "band_hash"], max_bucket_size)
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     return (
@@ -369,13 +389,15 @@ def winnow_near_duplicates(
     fingerprint, so this catches copied PASSAGES that whole-document
     hashing (exact) and bag-of-tokens similarity (minhash) both dilute.
 
-    Scale shape: fingerprints come from the explode + window-min rows
-    pipeline (text.winnow_fingerprint_rows — codegen, hash-only shuffle),
-    pairing is an equi-join on the 8-byte fingerprint value.
+    Scale shape: fingerprints come from the zero-shuffle pandas path
+    (text.winnow_fingerprint_rows, method='pandas' — per-doc numpy
+    sliding-min sets computed where the text lives), pairing is an
+    equi-join on the 8-byte fingerprint value.
     ``max_fp_docs`` drops fingerprints present in more docs than the cap
-    before pairing — a boilerplate k-gram in f docs emits O(f^2) pairs,
-    the same hot-bucket failure mode lsh_candidate_pairs caps; genuinely
-    near-dup pairs still meet through their rarer fingerprints."""
+    before pairing (map-combinable _drop_hot_keys) — a boilerplate k-gram
+    in f docs emits O(f^2) pairs, the same hot-bucket failure mode
+    lsh_candidate_pairs caps; genuinely near-dup pairs still meet through
+    their rarer fingerprints."""
     from featherstore_spark.functions.text import winnow_fingerprint_rows
 
     ex = (
@@ -384,12 +406,7 @@ def winnow_near_duplicates(
         .select(F.col(id_col).alias("id"), "fp")
     )
     if max_fp_docs is not None:
-        win = Window.partitionBy("fp")
-        ex = (
-            ex.withColumn("__df", F.count(F.lit(1)).over(win))
-            .where(F.col("__df") <= max_fp_docs)
-            .drop("__df")
-        )
+        ex = _drop_hot_keys(ex, ["fp"], max_fp_docs)
     a = ex.select(F.col("id").alias("id_a"), "fp")
     b = ex.select(F.col("id").alias("id_b"), "fp")
     return (

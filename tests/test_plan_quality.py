@@ -109,18 +109,55 @@ def test_hash_pipelines_have_no_python(spark):
         assert "CartesianProduct" not in plan, q
 
 
-def test_winnow_fingerprints_hash_only_shuffle_no_python(spark):
-    """Explode + window-min + aggregates: no pandas/python eval anywhere,
-    no join, and — the 100 TB property — the TEXT never shuffles: every
-    exchange carries only the id + 8-byte gram hash (the normalized-text
-    column is projected away before the window exchange)."""
+def test_winnow_fingerprints_zero_shuffle(spark):
+    """The contract winnowing query moves ZERO rows (VERDICT r3 #1): the
+    fingerprint sets come out of ONE vectorized pandas UDF evaluated where
+    the text lives — no Exchange of any kind, no join, no per-row Python,
+    and the four digest columns reuse the single UDF output attribute
+    (exactly one ArrowEvalPython node)."""
     df = entry_mod.q_winnow_fingerprints(spark, SF_DIR)
     plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan  # vectorized Arrow, never per-row
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_winnow_window_form_hash_only_shuffle_no_python(spark):
+    """The pure-JVM alternative path (method='window'): no pandas/python
+    eval anywhere, no join, and the TEXT never shuffles — every exchange
+    carries only the id + 8-byte gram hash (the normalized-text column is
+    projected away before the window exchange)."""
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(winnow_fingerprint_rows(docs, method="window"))
     assert "Python" not in plan and "InPandas" not in plan
     assert "Join" not in plan
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "__s" not in line and "text" not in line, line
+
+
+def test_hot_key_caps_are_map_combinable(spark):
+    """The max_fp_docs / max_bucket_size guards must count key frequencies
+    via a partial-aggregated groupBy + broadcast anti-join — NEVER a
+    count().over(Window.partitionBy(key)), which funnels every row of the
+    hottest key into one task (VERDICT r3 #2)."""
+    from featherstore_spark.operators.dedup import (
+        minhash_near_duplicates,
+        winnow_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        winnow_near_duplicates(docs, min_shared=3, max_fp_docs=100),
+        minhash_near_duplicates(docs, max_bucket_size=100),
+    ):
+        plan = _plan(df)
+        assert "Window" not in plan  # no single-partition key window
+        # the over-cap key set joins back as a broadcast anti-join
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
 def test_winnow_near_dups_no_cross_join(spark):

@@ -305,8 +305,10 @@ def test_winnow_near_duplicates_hot_fp_cap(spark):
     assert capped == 0      # every shared fp lives in all 6 docs -> dropped
 
 
-def test_winnow_fingerprint_rows_equivalent_to_reference(spark):
-    """The explode+window scale path emits exactly the same distinct
+@pytest.mark.parametrize("method", ["pandas", "window"])
+def test_winnow_fingerprint_rows_equivalent_to_reference(spark, method):
+    """BOTH scale paths — the zero-shuffle pandas sliding-min (default)
+    and the explode+window JVM form — emit exactly the same distinct
     fingerprint sets as the pure-python reference (and hence as the
     array-valued convenience form), including the edge corpus."""
     from featherstore_spark.functions.text import winnow_fingerprint_rows
@@ -319,10 +321,11 @@ def test_winnow_fingerprint_rows_equivalent_to_reference(spark):
         (5, "hi"),
         (6, "abcdefghij"),
         (7, "The  quick\nbrown fox"),
+        (8, "héllo wörld ünïcode padding text"),  # non-ascii: char-gram path
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got: dict[int, list] = {}
-    for r in winnow_fingerprint_rows(df).collect():
+    for r in winnow_fingerprint_rows(df, method=method).collect():
         got.setdefault(r["doc_id"], []).append(r["fp"])
     for doc_id, text in rows:
         exp = _py_winnow(text)
@@ -330,3 +333,28 @@ def test_winnow_fingerprint_rows_equivalent_to_reference(spark):
             assert got[doc_id] == [None], f"doc {doc_id}"  # kept via explode_outer
         else:
             assert sorted(got[doc_id]) == exp, f"doc {doc_id}"
+
+
+def test_winnow_pandas_set_matches_testdata_corpus(spark):
+    """On the real driver corpus the pandas set path and the JVM window
+    path agree doc-for-doc (the equivalence the judge's r3 order #1
+    requires before the contract query may switch paths)."""
+    from featherstore_spark.functions.text import (
+        winnow_fingerprint_rows,
+        winnow_fingerprint_set,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    via_pandas = {
+        r["doc_id"]: list(r["fps"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprint_set("text").alias("fps")
+        ).collect()
+    }
+    via_window: dict[int, list] = {}
+    for r in winnow_fingerprint_rows(docs, method="window").collect():
+        if r["fp"] is not None:
+            via_window.setdefault(r["doc_id"], []).append(r["fp"])
+    assert set(via_pandas) >= set(via_window)
+    for doc_id, fps in via_pandas.items():
+        assert sorted(via_window.get(doc_id, [])) == fps, f"doc {doc_id}"
