@@ -75,9 +75,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # materialize
-    from featherstore_spark.operators.asof import asof_join
-    from featherstore_spark.plans.checkpoint import run_with_checkpoint
+    from featherstore_spark.operators.asof import asof_join, auto_bucket_width_us
+    from featherstore_spark.plans.checkpoint import CheckpointManifest, run_with_checkpoint
     from featherstore_spark.plans.materialize import FEATURE_COLS, build_feature_log
+    from featherstore_spark.sources.io import table_format
+
+    # Resolve the output format ONCE: run_with_checkpoint auto-detects
+    # Iceberg when --format is omitted, so the clean-run clearing below
+    # must branch on the SAME resolved value — keying on args.format alone
+    # would route auto-detected Iceberg through the parquet branch, where
+    # clear_stale_output on a table identifier is a silent no-op and a
+    # "clean" run would resume from stale buckets (ADVICE r3).
+    fmt = args.format or table_format(spark)
 
     transcripts = spark.read.parquet(args.input)
     lineage = {
@@ -93,20 +102,20 @@ def main(argv: list[str] | None = None) -> int:
     ckpt_kwargs = {
         "n_buckets": args.n_buckets,
         "verify": args.verify,
-        "output_format": args.format,
+        "output_format": fmt,
         "manifest_dir": args.manifest_dir,
     }
     if not args.resume:
         # clean run: discard prior manifest AND data — dynamic overwrite
         # only replaces buckets present in this run, so a leftover bucket
-        # from an older input would otherwise survive.  clear_stale_output
-        # refuses directories this engine did not write (ADVICE r2).
-        if args.format == "iceberg":
+        # from an older input would otherwise survive.  Both clearers
+        # refuse paths this engine did not write (ADVICE r2/r3).
+        if fmt == "iceberg":
+            from featherstore_spark.plans.checkpoint import clear_manifest_dir
+
             spark.sql(f"DROP TABLE IF EXISTS {args.output}")
             if args.manifest_dir:
-                import shutil
-
-                shutil.rmtree(args.manifest_dir, ignore_errors=True)
+                clear_manifest_dir(args.manifest_dir)
         else:
             from featherstore_spark.plans.checkpoint import clear_stale_output
 
@@ -127,12 +136,28 @@ def main(argv: list[str] | None = None) -> int:
     # like the feature log (both sides bucket-filtered on resume)
     spine = spark.read.parquet(args.spine)
 
+    asof_bucket = args.asof_bucket
+    if args.asof_strategy == "bucketed" and asof_bucket == "auto":
+        # Resolve the auto width ONCE per materialization (VERDICT r3 #6):
+        # the density stat is over (conv_id, ts) of the raw transcripts —
+        # the feature log is row-for-row the same grain — and it is cached
+        # in the checkpoint manifest, so a resumed run re-reads the stat
+        # instead of re-running the aggregation job.  Lineage-scoped: any
+        # input/params change discards it with the manifest.
+        manifest = CheckpointManifest(args.manifest_dir or args.output, lineage)
+        width = None if manifest.lineage_changed else manifest.get_stat("asof_width_us")
+        if width is None:
+            width = auto_bucket_width_us(transcripts, on="conv_id", ts="ts")
+            if not manifest.lineage_changed:
+                manifest.set_stat("asof_width_us", width)
+        asof_bucket = int(width)
+
     def pit_pipeline(t, s):
         log = build_feature_log(t, args.trailing, args.session_gap)
         feats = log.select("conv_id", "ts", "turn_idx", *FEATURE_COLS)
         return asof_join(
             s, feats, on="conv_id", ts="ts", tiebreaks=("turn_idx",),
-            strategy=args.asof_strategy, bucket=args.asof_bucket,
+            strategy=args.asof_strategy, bucket=asof_bucket,
         )
 
     metrics = run_with_checkpoint(

@@ -68,6 +68,8 @@ AUTO_BUCKET_GRID_US = (
     604_800_000_000,  # 7 days
 )
 _DAY_US = 86_400_000_000
+#: Above this optimizer size estimate the auto-width stats pass samples.
+_AUTO_SAMPLE_BYTES = 4 << 30
 
 
 def auto_bucket_width_us(
@@ -87,7 +89,20 @@ def auto_bucket_width_us(
     whose shuffle carries only (entity x day) partial counts, or a sampled
     estimate via ``sample_fraction`` (scaled back up; sampling UNDER-
     estimates the max, so sampled runs keep a 2x safety margin).
+
+    ``sample_fraction=None`` auto-samples when the input's optimizer size
+    estimate exceeds ~4 GiB (driver-side plan stat, zero jobs): at corpus
+    scale the stats pass reads a bounded sample instead of every row.
+    Callers that already know the width should pass it straight to
+    ``asof_join(bucket=<µs>)`` — no stats job runs at all (and the
+    checkpoint CLI caches the resolved width in the manifest).
     """
+    if sample_fraction is None:
+        # Catalyst's sizeInBytes estimate for the plan: free to read, and
+        # only the ORDER of magnitude matters for choosing to sample.
+        est = int(features._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if est > _AUTO_SAMPLE_BYTES:
+            sample_fraction = max(0.01, min(1.0, _AUTO_SAMPLE_BYTES / est))
     df = features.sample(fraction=sample_fraction, seed=42) if sample_fraction else features
     hot = (
         df.groupBy(F.col(on), F.floor(epoch_us(ts) / F.lit(_DAY_US)).alias("__d"))

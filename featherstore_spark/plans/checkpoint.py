@@ -83,6 +83,17 @@ class CheckpointManifest:
             }
         self._flush()
 
+    def get_stat(self, name: str):
+        """Lineage-scoped cached statistic (e.g. the auto-sized as-of
+        bucket width): survives resume, discarded with the manifest on any
+        lineage change — a stat can never outlive the input it was
+        measured on."""
+        return self.state.get("stats", {}).get(name)
+
+    def set_stat(self, name: str, value) -> None:
+        self.state.setdefault("stats", {})[name] = value
+        self._flush()
+
     def metrics(self) -> dict:
         done = self.state["buckets"]
         return {
@@ -100,18 +111,49 @@ class CheckpointManifest:
 
 #: Entries a checkpointed output directory may legitimately contain.
 #: Anything else means the path is NOT tool-owned and must not be deleted.
-_OWNED_ENTRY_PREFIXES = ("p_bucket=", "_manifest.json", "_SUCCESS", ".", "_temporary", "part-")
+#: Deliberately NOT here (ADVICE r3): bare "." (a home dir full of dotfiles
+#: must never pass) and bare "part-" (top-level part files are some OTHER
+#: tool's generic Spark output — this engine always writes under p_bucket=).
+_OWNED_ENTRY_PREFIXES = (
+    "p_bucket=", "_manifest.json", "_SUCCESS", "._SUCCESS", "_temporary",
+)
 
 
 def _looks_tool_owned(output_path: str) -> bool:
-    """True iff every entry under ``output_path`` is something this engine
-    writes (bucket partitions, manifest, Spark markers).  An empty dir is
-    owned (nothing to lose)."""
+    """True iff ``output_path`` is a directory this engine wrote: it must
+    carry a POSITIVE marker (a ``_manifest.json`` or at least one
+    ``p_bucket=*`` partition) and contain nothing outside the allowlist.
+    An empty dir is owned (nothing to lose).  The positive-marker
+    requirement means a directory of dotfiles, or another tool's generic
+    ``part-* + _SUCCESS`` Spark output, can never be rmtree'd here."""
     try:
         entries = os.listdir(output_path)
     except FileNotFoundError:
         return True
-    return all(e.startswith(_OWNED_ENTRY_PREFIXES) for e in entries)
+    if not entries:
+        return True
+    has_marker = any(
+        e == MANIFEST or e.startswith(("p_bucket=", MANIFEST + ".tmp")) for e in entries
+    )
+    return has_marker and all(e.startswith(_OWNED_ENTRY_PREFIXES) for e in entries)
+
+
+def clear_manifest_dir(manifest_dir: str) -> None:
+    """Delete a driver-side manifest directory (the Iceberg-mode sidecar)
+    with the same ownership discipline as :func:`clear_stale_output`: only
+    an empty dir or one containing nothing but the manifest (+ its tmp
+    file) may be removed — a typo'd or shared ``--manifest-dir`` errors
+    out instead of being wholesale rmtree'd (ADVICE r3)."""
+    if not os.path.isdir(manifest_dir):
+        return
+    strays = [e for e in os.listdir(manifest_dir) if not e.startswith(MANIFEST)]
+    if strays:
+        raise ValueError(
+            f"refusing to clear manifest dir {manifest_dir!r}: it contains "
+            f"entries this engine did not write ({strays[:5]}). Pass a "
+            "dedicated manifest directory."
+        )
+    shutil.rmtree(manifest_dir)
 
 
 def clear_stale_output(output_path: str) -> None:
@@ -139,27 +181,41 @@ def clear_stale_output(output_path: str) -> None:
     shutil.rmtree(output_path)
 
 
+#: Max conditional aggregate expressions per observe() node.  Unbounded,
+#: SURVEY §9's n_buckets=4096 would put 8k when()-comparisons per written
+#: row into ONE very wide codegen'd aggregate (VERDICT r3 #3); chunking
+#: keeps each CollectMetrics node narrow while still riding the write job.
+_OBSERVE_CHUNK_EXPRS = 128
+
+
 def _observed_bucket_stats(out: DataFrame, pending: list[int], bucket: str = "p_bucket"):
-    """(observed DataFrame, Observation) computing per-pending-bucket
+    """(observed DataFrame, [Observations]) computing per-pending-bucket
     row_count + xor content hash IN THE WRITE JOB — no post-write scan.
 
-    One conditional pair per pending bucket: at the manifest's O(100)
-    bucket counts this is a few hundred cheap comparisons per row riding
-    the write stage, vs. a full second read of the output (the round-2
-    anti-pattern).  The row hash is identical to :func:`content_stats`
-    (same column order, same string casts), so ``verify=True`` read-back
-    audits compare exactly."""
+    One conditional pair per pending bucket, chunked ≤128 expressions per
+    ``observe()`` node (64 buckets each): a few hundred cheap comparisons
+    per row riding the write stage, vs. a full second read of the output
+    (the round-2 anti-pattern), and no single pathologically wide
+    aggregate at large ``n_buckets``.  The row hash is identical to
+    :func:`content_stats` (same column order, same string casts), so
+    ``verify=True`` read-back audits compare exactly."""
     from pyspark.sql import Observation
 
     cols = [c for c in out.columns if c != bucket]
     row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
-    exprs = []
-    for b in pending:
-        hit = F.col(bucket) == F.lit(b)
-        exprs.append(F.count(F.when(hit, F.lit(1))).alias(f"rc_{b}"))
-        exprs.append(F.bit_xor(F.when(hit, row_hash)).alias(f"hash_{b}"))
-    obs = Observation("checkpoint_bucket_stats")
-    return out.observe(obs, *exprs), obs
+    per_chunk = _OBSERVE_CHUNK_EXPRS // 2
+    observations = []
+    for ci in range(0, len(pending), per_chunk):
+        chunk = pending[ci : ci + per_chunk]
+        exprs = []
+        for b in chunk:
+            hit = F.col(bucket) == F.lit(b)
+            exprs.append(F.count(F.when(hit, F.lit(1))).alias(f"rc_{b}"))
+            exprs.append(F.bit_xor(F.when(hit, row_hash)).alias(f"hash_{b}"))
+        obs = Observation(f"checkpoint_bucket_stats_{ci}")
+        out = out.observe(obs, *exprs)
+        observations.append(obs)
+    return out, observations
 
 
 def run_with_checkpoint(
@@ -219,7 +275,7 @@ def run_with_checkpoint(
     if manifest.lineage_changed:
         if fmt == "iceberg":
             spark.sql(f"DROP TABLE IF EXISTS {output_path}")
-            shutil.rmtree(manifest_dir, ignore_errors=True)
+            clear_manifest_dir(manifest_dir)
             manifest = CheckpointManifest(manifest_dir, lineage)
         else:
             clear_stale_output(output_path)
@@ -244,10 +300,12 @@ def run_with_checkpoint(
     out = result.withColumn("p_bucket", b)
     sort_key = "turn_idx" if "turn_idx" in out.columns else "ts"
     out = out.sortWithinPartitions(entity_col, sort_key) if sort_key in out.columns else out
-    out, obs = _observed_bucket_stats(out, pending)
+    out, obs_list = _observed_bucket_stats(out, pending)
     write_partitioned(out, output_path, ("p_bucket",), fmt=fmt)
 
-    observed = obs.get
+    observed: dict = {}
+    for obs in obs_list:
+        observed.update(obs.get)
     stats = {
         b: {"row_count": int(observed[f"rc_{b}"]), "content_hash": int(observed[f"hash_{b}"])}
         for b in pending

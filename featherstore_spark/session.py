@@ -56,6 +56,7 @@ def get_spark(
     if master is None and not under_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    explicit_shuffle = shuffle_partitions is not None
     if shuffle_partitions is None:
         # Match local core count; on a cluster this should be
         # ~2-3x total executor cores (AQE coalesces the excess).
@@ -70,12 +71,20 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
     conf = dict(_DEFAULTS)
-    # local mode defaults to a 1g JVM heap — far too small for 32 executor
-    # threads.  On a real cluster spark-submit owns these; in local mode we
-    # size the single JVM to the sandbox (128 GiB box).
-    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
-    conf["spark.driver.maxResultSize"] = "4g"
-    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if not under_submit:
+        # local mode defaults to a 1g JVM heap — far too small for 32
+        # executor threads; size the single JVM to the sandbox (128 GiB
+        # box).  Under spark-submit these keys are OMITTED entirely:
+        # explicit builder.config values override `spark-submit --conf`,
+        # so setting them here would silently clobber the launcher's
+        # cluster sizing (ADVICE r3) — the launcher owns cluster conf.
+        conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        conf["spark.driver.maxResultSize"] = "4g"
+    if explicit_shuffle or not under_submit:
+        # same rule for shuffle parallelism: under spark-submit only an
+        # EXPLICIT caller value is applied; the 200-row fallback must not
+        # override a launcher-provided spark.sql.shuffle.partitions.
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

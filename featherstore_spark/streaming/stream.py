@@ -187,10 +187,14 @@ def streaming_cumulative_features(
             # on a replayed/duplicated turn): silent wrong counters are the
             # worst failure mode of running state
             first = int(pdf["turn_idx"].iloc[0])
-            if first <= max_seen:
+            if first <= max_seen or pdf["turn_idx"].duplicated().any():
+                # the duplicated() check mirrors buffer mode (ADVICE r3): a
+                # turn_idx repeated WITHIN one micro-batch would otherwise
+                # pass the cross-batch max_seen check and double-count
                 raise ValueError(
-                    f"out-of-order arrival for {key}: turn_idx {first} after "
-                    f"already-consumed turn_idx {max_seen}; replay/backfill must "
+                    f"out-of-order or duplicate arrival for {key}: turn_idx "
+                    f"{first} after already-consumed turn_idx {max_seen}, or a "
+                    "turn_idx repeated within the batch; replay/backfill must "
                     "go through the batch checkpoint path (plans/checkpoint.py)"
                 )
             out = _emit(key, pdf, turns, tools)

@@ -338,3 +338,127 @@ def test_kill_resume_parametrized_formats(spark, transcripts, tmp_path, fmt):
         assert final["buckets"][b]["completed_at"] == v["completed_at"]
     for b, v in complete["buckets"].items():
         assert final["buckets"][b]["content_hash"] == v["content_hash"]
+
+
+def test_wide_bucket_count_checkpoint_chunks_observes(spark, transcripts, tmp_path):
+    """VERDICT r3 #4: n_buckets=512 must run green WITHOUT one
+    pathologically wide observe aggregate — the per-bucket conditional
+    stats are chunked <=128 expressions per CollectMetrics node."""
+    from featherstore_spark.plans.checkpoint import (
+        _OBSERVE_CHUNK_EXPRS,
+        _observed_bucket_stats,
+    )
+
+    out = str(tmp_path / "feat")
+    m = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=512)
+    assert m["total_rows"] == transcripts.count()
+    man = _read_manifest(out)
+    # every done bucket carries real stats, and re-running resumes cleanly
+    assert all(v["row_count"] > 0 for v in man["buckets"].values())
+    m2 = run_with_checkpoint(transcripts, out, LINEAGE, n_buckets=512)
+    assert m2["total_rows"] == m["total_rows"]
+
+    # structural check: 512 pending buckets -> ceil(1024/128)=8 observe nodes
+    df = transcripts.limit(10).withColumn("p_bucket", F.lit(0))
+    observed, obs_list = _observed_bucket_stats(df, list(range(512)))
+    assert len(obs_list) == (512 * 2 + _OBSERVE_CHUNK_EXPRS - 1) // _OBSERVE_CHUNK_EXPRS
+    plan = observed._jdf.queryExecution().logical().toString()
+    assert plan.count("CollectMetrics") == len(obs_list)
+
+
+def test_ownership_guard_requires_positive_marker(tmp_path):
+    """ADVICE r3 (medium): a directory of dotfiles, or another tool's
+    generic part-*/_SUCCESS Spark output, must NOT pass the ownership
+    check — deletion requires a p_bucket=*/_manifest.json marker."""
+    from featherstore_spark.plans.checkpoint import clear_stale_output
+
+    dotfiles = tmp_path / "home"
+    dotfiles.mkdir()
+    (dotfiles / ".bashrc").write_text("alias ll='ls -l'")
+    (dotfiles / ".ssh").mkdir()
+    with pytest.raises(ValueError, match="refusing to clear"):
+        clear_stale_output(str(dotfiles))
+    assert (dotfiles / ".bashrc").exists()
+
+    generic = tmp_path / "other_spark_output"
+    generic.mkdir()
+    (generic / "part-00000-abc.snappy.parquet").write_text("x")
+    (generic / "_SUCCESS").write_text("")
+    with pytest.raises(ValueError, match="refusing to clear"):
+        clear_stale_output(str(generic))
+    assert (generic / "_SUCCESS").exists()
+
+
+def test_clear_manifest_dir_refuses_strays(tmp_path):
+    """ADVICE r3 (low): the Iceberg-mode manifest dir gets the same
+    ownership discipline — only the manifest (+tmp) may live there."""
+    from featherstore_spark.plans.checkpoint import MANIFEST, clear_manifest_dir
+
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    (shared / MANIFEST).write_text("{}")
+    (shared / "unrelated.csv").write_text("a,b")
+    with pytest.raises(ValueError, match="refusing to clear manifest"):
+        clear_manifest_dir(str(shared))
+    assert (shared / "unrelated.csv").exists()
+
+    owned = tmp_path / "owned_manifest"
+    owned.mkdir()
+    (owned / MANIFEST).write_text("{}")
+    (owned / (MANIFEST + ".tmp")).write_text("{}")
+    clear_manifest_dir(str(owned))
+    assert not owned.exists()
+
+
+def test_cli_auto_asof_width_cached_in_manifest(spark, transcripts, tmp_path, monkeypatch):
+    """VERDICT r3 #6: --asof-bucket auto costs ONE stats aggregation per
+    materialization; a resumed run re-reads the width from the manifest
+    instead of re-running the job."""
+    import featherstore_spark.operators.asof as asof_mod
+    from featherstore_spark.cli import main
+
+    tdir, sdir, out = str(tmp_path / "t"), str(tmp_path / "s"), str(tmp_path / "o")
+    transcripts.write.parquet(tdir)
+    (
+        transcripts.where(F.col("role") == "assistant")
+        .select("conv_id", "ts", "turn_idx")
+        .write.parquet(sdir)
+    )
+    calls = []
+    orig = asof_mod.auto_bucket_width_us
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(asof_mod, "auto_bucket_width_us", counting)
+    common = [
+        "materialize", "--input", tdir, "--output", out, "--spine", sdir,
+        "--asof-strategy", "bucketed", "--asof-bucket", "auto", "--n-buckets", "4",
+    ]
+    assert main(common) == 0
+    assert len(calls) == 1
+    man = _read_manifest(out)
+    width = man["stats"]["asof_width_us"]
+    assert width in asof_mod.AUTO_BUCKET_GRID_US
+
+    assert main(common + ["--resume"]) == 0
+    assert len(calls) == 1  # cached: no second stats job
+
+
+def test_asof_supplied_width_runs_no_stats_job(spark, transcripts, monkeypatch):
+    """Passing a concrete width to asof_join must never trigger the
+    auto-width aggregation (the caller-precomputed fast path)."""
+    import featherstore_spark.operators.asof as asof_mod
+
+    def boom(*a, **kw):  # any call = the contract is broken
+        raise AssertionError("auto_bucket_width_us ran despite supplied width")
+
+    monkeypatch.setattr(asof_mod, "auto_bucket_width_us", boom)
+    feats = transcripts.select("conv_id", "ts", "turn_idx", F.length("text").alias("v"))
+    spine = transcripts.where(F.col("role") == "assistant").select("conv_id", "ts")
+    out = asof_mod.asof_join(
+        spine, feats, on="conv_id", ts="ts", tiebreaks=("turn_idx",),
+        strategy="bucketed", bucket=3_600_000_000,
+    )
+    assert out.count() == spine.count()

@@ -86,17 +86,21 @@ def test_pyfiles_package_generate_and_materialize(tmp_path):
     assert n == gen["rows"]
 
 
-def test_session_honors_launcher_master(tmp_path):
-    """get_spark under spark-submit must NOT override --master: the
-    launcher says local[4]; a hard-coded local[32] default leaking
-    through would show up here."""
+def test_session_honors_launcher_master_and_conf(tmp_path):
+    """get_spark under spark-submit must NOT override launcher conf: the
+    launcher says local[4] and shuffle.partitions=7; a hard-coded
+    local[32] default or the 200-partition fallback leaking through would
+    show up here (ADVICE r3: explicit builder values beat --conf, so the
+    builder must OMIT these keys under spark-submit)."""
     zpath = _build_zip(tmp_path)
     probe = tmp_path / "probe.py"
     probe.write_text(
         "import json\n"
         "from featherstore_spark.session import get_spark\n"
         "spark = get_spark(app_name='probe')\n"
-        "print(json.dumps({'master': spark.conf.get('spark.master')}))\n"
+        "print(json.dumps({'master': spark.conf.get('spark.master'),\n"
+        "  'shuffle': spark.conf.get('spark.sql.shuffle.partitions'),\n"
+        "  'mem': spark.conf.get('spark.driver.memory')}))\n"
         "spark.stop()\n"
     )
     env = dict(os.environ)
@@ -105,6 +109,7 @@ def test_session_honors_launcher_master(tmp_path):
         [
             SPARK_SUBMIT, "--master", "local[4]",
             "--conf", "spark.driver.memory=2g",
+            "--conf", "spark.sql.shuffle.partitions=7",
             "--conf", "spark.ui.enabled=false",
             "--py-files", str(zpath), str(probe),
         ],
@@ -112,4 +117,7 @@ def test_session_honors_launcher_master(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
-    assert json.loads(line)["master"] == "local[4]"
+    got = json.loads(line)
+    assert got["master"] == "local[4]"
+    assert got["shuffle"] == "7"  # launcher conf survives the builder
+    assert got["mem"] == "2g"

@@ -142,8 +142,33 @@ def test_stateful_rejects_out_of_order_arrival(spark, tmp_path):
     q2 = run_stream_to_table(
         streaming_cumulative_features(read_transcript_stream(spark, src)), out, ckpt
     )
-    with pytest.raises(StreamingQueryException, match="out-of-order arrival"):
+    with pytest.raises(StreamingQueryException, match="out-of-order or duplicate"):
         q2.awaitTermination(120)
+
+
+def test_stateful_error_mode_rejects_duplicate_within_batch(spark, tmp_path):
+    """ADVICE r3: error mode previously checked only the FIRST turn_idx of
+    a batch against max_seen, so a turn duplicated WITHIN one micro-batch
+    double-counted silently.  It must now raise like buffer mode does."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from featherstore_spark.datagen import generate_transcripts
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_cumulative_features,
+    )
+
+    full = generate_transcripts(spark, n_convs=3, mean_turns=8, seed=11).cache()
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    # one file containing every turn PLUS a replayed copy of turn_idx 2:
+    # the whole thing lands in a single micro-batch
+    dup = full.unionAll(full.where(F.col("turn_idx") == 2))
+    dup.coalesce(1).write.parquet(src)
+    q = run_stream_to_table(
+        streaming_cumulative_features(read_transcript_stream(spark, src)), out, ckpt
+    )
+    with pytest.raises(StreamingQueryException, match="out-of-order or duplicate"):
+        q.awaitTermination(120)
 
 
 def test_stateful_buffer_mode_reorders_to_batch_equality(spark, tmp_path):
