@@ -697,10 +697,17 @@ def main() -> None:
         return sum(vals) - idle, vals[7] if len(vals) > 7 else 0
 
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     q_loads: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
+        # the warmup execution is timed too (VERDICT r3 #7): "cold" = first
+        # execution in a warm JVM (per-query codegen compile + worker
+        # spin-up included), "warm" = steady state — reporting both keeps
+        # rounds comparable across protocol generations
+        tc0 = time.perf_counter()
         _run_to_noop(df)
+        timings_cold[name] = round(time.perf_counter() - tc0, 3)
         for attempt in range(3):
             l0 = os.getloadavg()[0]
             c0 = _cpu_totals()
@@ -736,11 +743,20 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
+        "cold_total": round(sum(timings_cold.values()), 3),
         "sf": sf,
-        "headline_protocol": "per-query warmed steady-state, load-gated retry",
+        "headline_protocol": "per-query warmed steady-state, load-gated retry; "
+                             "queries_cold = the (timed) first execution",
         "queries_loadavg": q_loads,
         "materialize": mat,
     }
+    # The artifact lands as a FILE from this process (VERDICT r3 #3):
+    # BENCH_r03.json was parsed:null because the stdout tail got truncated
+    # — the driver may still capture stdout, but the canonical parseable
+    # object is written here.
+    with open(os.path.join(REPO, "BENCH_RESULT.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
     print(json.dumps(result))
 
 

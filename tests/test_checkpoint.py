@@ -307,7 +307,9 @@ def test_iceberg_checkpoint_requires_manifest_dir(spark, transcripts, tmp_path):
         )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "iceberg"])
+@pytest.mark.parametrize(
+    "fmt", ["parquet", pytest.param("iceberg", marks=pytest.mark.iceberg)]
+)
 def test_kill_resume_parametrized_formats(spark, transcripts, tmp_path, fmt):
     """Kill-resume over both table formats.  The iceberg case activates
     only when the runtime ships the Iceberg extensions (auto-skip here);
