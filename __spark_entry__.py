@@ -471,6 +471,19 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_near_dups(spark, sf_dir):
+    """Partial-copy pair detection over winnowing fingerprints
+    (operators/dedup.winnow_near_duplicates): docs sharing >= 20 selected
+    k-gram hashes, after the map-combinable hot-fp cap drops boilerplate
+    fingerprints present in > 50 docs.  Scale shape: zero-shuffle pandas
+    fingerprint sets -> partial-aggregated frequency cap (broadcast
+    anti-join, never a key-partitioned window) -> 8-byte-fp equi-join."""
+    from featherstore_spark.operators.dedup import winnow_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_near_duplicates(docs, min_shared=20, max_fp_docs=50)
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact-Jaccard verification fed by MinHash-LSH candidates — the
     100 TB shape (two equi-joins, no crossJoin; plan asserted in
@@ -603,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dups": q_winnow_near_dups,
         "jaccard_pairs": q_jaccard_pairs,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "media_byte_stats": q_media_byte_stats,
@@ -817,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "winnow_fingerprints": _WINNOW_ORACLE,
+        "winnow_near_dups": _WINNOW_PAIRS_ORACLE,
         "jaccard_pairs": _build_minhash_pairs_oracle(threshold=0.8),
         "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "media_byte_stats": """
@@ -864,15 +879,13 @@ _ASOF_ORACLE = """
     FROM events s WHERE s.event_type = 'click'
 """
 
-def _build_winnow_oracle(k: int = 8, w: int = 4) -> str:
-    """SQL twin of functions/text.winnow_fingerprints + the digest agg in
-    q_winnow_fingerprints.  Same normalize → k-gram → md5_long60 →
-    window-min → distinct pipeline as list comprehensions; the
-    [NULL]-substitution for empty fps mirrors Spark's explode_outer
-    (count skips NULLs → 0, bit_xor of only-NULL → NULL → coalesce 0).
-    Validated cell-identical to a pure-hashlib python reference."""
-    return rf"""
-        WITH base AS (
+def _winnow_mins_cte(k: int = 8, w: int = 4) -> str:
+    """Shared CTE chain computing per-doc winnowing fingerprint SETS in
+    DuckDB — the SQL twin of functions/text.winnow_fingerprint_set
+    (normalize → k-gram → md5_long60 → window-min → distinct as list
+    comprehensions).  Validated cell-identical to a pure-hashlib python
+    reference; consumed by both the digest oracle and the pairs oracle."""
+    return rf"""base AS (
           SELECT doc_id,
                  lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS s
           FROM documents
@@ -896,7 +909,15 @@ def _build_winnow_oracle(k: int = 8, w: int = 4) -> str:
                      j -> list_min(list_slice(hg, j::INT, j::INT + {w - 1}))))
                  ELSE []::BIGINT[] END AS fps
           FROM h
-        ), ex AS (
+        )"""
+
+
+def _build_winnow_oracle(k: int = 8, w: int = 4) -> str:
+    """SQL twin of the digest agg in q_winnow_fingerprints; the
+    [NULL]-substitution for empty fps mirrors the engine's empty-set rows
+    (count skips NULLs → 0, bit_xor of only-NULL → NULL → coalesce 0)."""
+    return rf"""
+        WITH {_winnow_mins_cte(k, w)}, ex AS (
           SELECT doc_id,
                  unnest(CASE WHEN len(fps) = 0 THEN [NULL]::BIGINT[] ELSE fps END) AS fp
           FROM mins
@@ -907,7 +928,30 @@ def _build_winnow_oracle(k: int = 8, w: int = 4) -> str:
     """
 
 
+def _build_winnow_pairs_oracle(
+    k: int = 8, w: int = 4, min_shared: int = 20, max_fp_docs: int = 50
+) -> str:
+    """SQL twin of operators/dedup.winnow_near_duplicates: fingerprint
+    rows → drop fps present in more than ``max_fp_docs`` docs (the
+    map-combinable hot-key cap) → self-equi-join on fp → shared-count
+    threshold.  Same fp sets, same cap semantics (keep count <= cap)."""
+    return rf"""
+        WITH {_winnow_mins_cte(k, w)}, ex AS (
+          SELECT doc_id AS id, unnest(fps) AS fp FROM mins WHERE len(fps) > 0
+        ), kept AS (
+          SELECT id, fp FROM ex
+          WHERE fp IN (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= {max_fp_docs})
+        )
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS shared_fps
+        FROM kept a JOIN kept b USING (fp)
+        WHERE a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING COUNT(*) >= {min_shared}
+    """
+
+
 _WINNOW_ORACLE = _build_winnow_oracle(k=8, w=4)
+_WINNOW_PAIRS_ORACLE = _build_winnow_pairs_oracle(k=8, w=4, min_shared=20, max_fp_docs=50)
 
 
 def _stopword_sql_list() -> str:

@@ -100,8 +100,12 @@ def auto_bucket_width_us(
     if sample_fraction is None:
         # Catalyst's sizeInBytes estimate for the plan: free to read, and
         # only the ORDER of magnitude matters for choosing to sample.
+        # Plans without real stats (LogicalRDD, some local relations)
+        # report the defaultSizeInBytes sentinel (~Long.MaxValue) — treat
+        # anything implausibly huge as unknown and do NOT sample: the
+        # scale case (parquet/Iceberg scans) always carries a real size.
         est = int(features._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        if est > _AUTO_SAMPLE_BYTES:
+        if _AUTO_SAMPLE_BYTES < est < (1 << 60):
             sample_fraction = max(0.01, min(1.0, _AUTO_SAMPLE_BYTES / est))
     df = features.sample(fraction=sample_fraction, seed=42) if sample_fraction else features
     hot = (

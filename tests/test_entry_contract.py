@@ -102,7 +102,7 @@ def test_entry_smoke(spark):
 NULL_TEXT_QUERIES = [
     "media_byte_stats", "exact_dedup", "text_stats", "lang_id",
     "corpus_clean_pipeline", "minhash_near_dups", "simhash_near_dups",
-    "jaccard_pairs", "winnow_fingerprints",
+    "jaccard_pairs", "winnow_fingerprints", "winnow_near_dups",
 ]
 
 
