@@ -451,9 +451,12 @@ def q_winnow_fingerprints(spark, sf_dir):
     exchange, no groupBy — the digest reads the sorted array directly).
     The per-doc digest (count, min, max, xor) pins the ENTIRE selected
     set value-wise against the SQL twin, order-independently."""
-    from featherstore_spark.functions.text import winnow_fingerprint_set
+    from featherstore_spark.functions.text import (
+        balance_small_input,
+        winnow_fingerprint_set,
+    )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = balance_small_input(_t(spark, sf_dir, "documents"))
     fps = docs.select(
         "doc_id", winnow_fingerprint_set("text", k=8, w=4).alias("fps")
     )

@@ -147,9 +147,15 @@ def parse_utilization(evdir: str, app_id: str, w0_ms: float, w1_ms: float, cores
 #     utilization — measured 23% wall inflation at loadavg 3.8 and util
 #     0.96, fully explained by the steal counter, and a 10x inflation
 #     whose AGGREGATE steal read only 12% because idle vCPUs diluted it
-#     (hence busy-share, not total-share).  Every run's steal share is
-#     RECORDED and the scaling artifact reports a steal-corrected
-#     (capacity-delivered) efficiency alongside raw.
+#     (hence busy-share, not total-share), OR
+#   - its wall exceeds 2x the session's best-seen execution (dispersion
+#     channel): repeated same-JVM runs of one job sit within ~15%; the
+#     observed 5-8x inflations with CLEAN loadavg+steal and degraded
+#     task-slot utilization indicate a channel the guest cannot observe
+#     (host memory-bandwidth pressure) — the ratio is recorded as "rel".
+#     Every run's steal share is RECORDED and the scaling artifact
+#     reports a steal-corrected (capacity-delivered) efficiency
+#     alongside raw.
 # Every run also gets an event-log task-utilization figure so discarded
 # rounds carry their own attribution: low util = plan idle (engine's
 # fault); high util + steal/load = host theft.  Emits one JSON line.
@@ -206,6 +212,14 @@ for i in range({warmups}):
     materialize_job(spark, t, out, cores)
     warm_secs.append(time.perf_counter() - t0)
 runs_detail, n_clean = [], 0
+# third gating channel: DISPERSION.  Same-JVM same-corpus steady runs sit
+# within ~15% of each other; 5-8x inflations have been observed with
+# loadavg AND busy-steal both reading clean while event-log task-slot
+# utilization drops (r2: 9.9->55.3 s, r4: 8.2->66.5 s) — consistent with
+# host memory-bandwidth pressure, which none of the guest counters see.
+# A run slower than 2x the session's best-seen execution is therefore
+# marked contended (and retried); its ratio is recorded as "rel".
+best_seen = min(warm_secs) if warm_secs else float("inf")
 t_start = time.perf_counter()
 while n_clean < {runs} and len(runs_detail) < max_runs:
     l0 = os.getloadavg()[0]; c0 = _cpu_totals()
@@ -214,10 +228,13 @@ while n_clean < {runs} and len(runs_detail) < max_runs:
     dt = time.perf_counter() - p0; w1 = time.time() * 1000.0
     l1 = os.getloadavg()[0]; c1 = _cpu_totals()
     steal = (c1[1] - c0[1]) / max(c1[0] - c0[0], 1)
-    ok = max(l0, l1) <= gate and steal <= steal_gate
+    best_seen = min(best_seen, dt)
+    rel = dt / best_seen
+    ok = max(l0, l1) <= gate and steal <= steal_gate and rel <= 2.0
     n_clean += ok
     runs_detail.append({{"secs": round(dt, 3), "load0": round(l0, 1),
                          "load1": round(l1, 1), "steal": round(steal, 4),
+                         "rel": round(rel, 2),
                          "w0": w0, "w1": w1, "clean": ok}})
     if time.perf_counter() - t_start > {cap}:
         break

