@@ -55,6 +55,7 @@ HEADLINE = [
     "minhash_near_dups",
     "simhash_near_dups",
     "winnow_fingerprints",
+    "winnow_near_dups",
     "cosine_topk",
     "media_byte_stats",
 ]
