@@ -152,6 +152,95 @@ def partition_identity_keys(n_partitions: int, max_probe: int = 1_000_000) -> li
     raise RuntimeError(f"no full remap found for {n_partitions} partitions")
 
 
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P64_2) & _M64
+    return (_rotl64(acc, 31) * _P64_1) & _M64
+
+
+def _xx_merge(acc: int, val: int) -> int:
+    acc ^= _xx_round(0, val)
+    return (acc * _P64_1 + _P64_4) & _M64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """Pure-python XXH64 of ``data``, returned as Spark's SIGNED long.
+
+    Seed 42 is what ``F.xxhash64`` uses, so
+    ``pmod(xxhash64(entity.encode()), n_buckets)`` reproduces the
+    engine's ``p_bucket`` partition value DRIVER-SIDE — the serving layer
+    (sources/flight.py) uses this to open exactly one ``p_bucket=…``
+    directory for a point lookup instead of scanning the table.  For a
+    LongType entity pack little-endian (``struct.pack('<q', v)``) — the
+    byte layout Spark hashes.  Verified against ``F.xxhash64`` in
+    tests/test_serving.py."""
+    import struct
+
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        i = 0
+        while i <= n - 32:
+            w = struct.unpack_from("<4Q", data, i)
+            v1, v2, v3, v4 = (
+                _xx_round(v1, w[0]), _xx_round(v2, w[1]),
+                _xx_round(v3, w[2]), _xx_round(v4, w[3]),
+            )
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _xx_merge(h, v)
+    else:
+        h = (seed + _P64_5) & _M64
+        i = 0
+    h = (h + n) & _M64
+    while i <= n - 8:
+        (w,) = struct.unpack_from("<Q", data, i)
+        h ^= _xx_round(0, w)
+        h = (_rotl64(h, 27) * _P64_1 + _P64_4) & _M64
+        i += 8
+    if i <= n - 4:
+        (w,) = struct.unpack_from("<I", data, i)
+        h ^= (w * _P64_1) & _M64
+        h = (_rotl64(h, 23) * _P64_2 + _P64_3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P64_5) & _M64
+        h = (_rotl64(h, 11) * _P64_1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def entity_bucket(entity, n_buckets: int) -> int:
+    """The engine's ``p_bucket`` value for an entity key, computed
+    driver-side: pmod(xxhash64(key), n_buckets) — string keys hash their
+    UTF-8 bytes, int keys their 8-byte little-endian layout (matching
+    ``plans/checkpoint.bucket_col`` / ``sources/io.with_partition_columns``)."""
+    import struct
+
+    data = entity.encode("utf-8") if isinstance(entity, str) else struct.pack("<q", int(entity))
+    return xxhash64(data) % n_buckets
+
+
 def sql_signed_sum(vec_expr: str, signs: list[int]) -> str:
     """DuckDB twin of :func:`signed_sum` (same left-assoc order)."""
     parts = ["0.0"]

@@ -82,13 +82,18 @@ def history(
     end,
     entity_col: str = "conv_id",
     ts_col: str = "ts",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Reference ``GetFeatureHistory`` (duckdb.go:683-689): one entity,
     inclusive-inclusive time range (SURVEY C3), newest first.  Partition
     pruning on event time replaces the reference's file-name pruning —
-    which used *ingestion* time and silently missed late rows (C4)."""
+    which used *ingestion* time and silently missed late rows (C4).
+    ``tiebreak_cols`` order equal-timestamp rows descending — the same C2
+    determinism fix latest_per_entity applies (the reference's ORDER BY
+    timestamp DESC alone leaves tie order engine-dependent)."""
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     return (
         df.where(F.col(entity_col) == entity_id)
         .where(F.col(ts_col).between(F.lit(start), F.lit(end)))
-        .orderBy(F.col(ts_col).desc())
+        .orderBy(*order)
     )

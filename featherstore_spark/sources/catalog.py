@@ -253,9 +253,11 @@ class FeatureCatalog:
         from featherstore_spark.operators.latest import history
 
         fs = self.get_feature_set(name)
+        tiebreaks = [c for c in ("turn_idx", "event_id") if c in [f.name for f in fs.schema.fields]]
         return history(
             self.read(name), entity_id, start, end,
             entity_col=fs.entity_col, ts_col=fs.ts_col,
+            tiebreak_cols=tuple(tiebreaks),
         )
 
     def get_features_at_spine(self, name: str, spine: DataFrame, strategy: str = "window") -> DataFrame:

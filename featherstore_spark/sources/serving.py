@@ -1,0 +1,243 @@
+"""Driver-side serving kernel over Spark-materialized feature tables.
+
+Reference parity: featherstore serves features over Arrow Flight
+(/root/reference/pkg/flight/server.go — DoGet latest/history at :242-300,
+DoPut ingest at :352, DoAction feature-set DDL at :477) and its store
+interface (pkg/core/model.go GetFeatures/GetFeatureHistory).  This module
+is the store those transports wrap on the Spark engine: a ZERO-Spark
+read path over the parquet layout the engine writes.
+
+Architecture note (the 100 TB posture): serving point lookups must never
+launch a Spark job — compute (Spark) materializes bucketed feature
+tables; the serving tier reads them with ``pyarrow.dataset``:
+
+- entity predicates push into parquet row-group statistics,
+- for hash-bucketed tables (``p_bucket=…`` layout from
+  plans/checkpoint.py), the pure-python ``functions.hashing.xxhash64``
+  reproduces Spark's bucket value driver-side, so a point lookup opens
+  EXACTLY the one partition directory holding the entity — O(table/N)
+  bytes touched regardless of table size (asserted on dataset fragments
+  in tests/test_serving.py),
+- latest-per-entity / history semantics are the engine's J1/P3 kernels
+  (ts desc, declared tiebreaks desc, inclusive bounds — C1/C2/C3 fixes),
+  differentially tested against the Spark operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from featherstore_spark.functions.hashing import entity_bucket
+
+_META = "metadata.json"
+
+
+class ServingError(ValueError):
+    pass
+
+
+def _spark_schema_to_arrow(schema_json: dict) -> pa.Schema:
+    """Arrow schema for a stored StructType JSON — enough fidelity for
+    serving-side validation (names + basic types)."""
+    m = {
+        "string": pa.string(), "long": pa.int64(), "integer": pa.int32(),
+        "short": pa.int16(), "byte": pa.int8(), "double": pa.float64(),
+        "float": pa.float32(), "boolean": pa.bool_(), "binary": pa.binary(),
+        "date": pa.date32(), "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    fields = []
+    for f in schema_json["fields"]:
+        t = f["type"]
+        fields.append(pa.field(f["name"], m.get(t, pa.string()) if isinstance(t, str) else pa.string()))
+    return pa.schema(fields)
+
+
+class ServingStore:
+    """Feature-set store over a FeatureCatalog root directory — the same
+    ``metadata.json`` + ``data/*.parquet`` layout sources/catalog.py
+    maintains, readable and writable WITHOUT a SparkSession."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- DDL (reference DoAction create/get/list/delete, server.go:477) --
+    def create_feature_set(self, name: str, meta: dict) -> dict:
+        path = self._path(name)
+        if os.path.exists(os.path.join(path, _META)):
+            raise ServingError(f"feature set {name!r} already exists")
+        required = {"schema", "entity_col", "ts_col"}
+        missing = required - set(meta)
+        if missing:
+            raise ServingError(f"feature-set meta missing {sorted(missing)}")
+        os.makedirs(path, exist_ok=True)
+        now = time.time()
+        full = {"name": name, "description": "", "tags": {}, "n_buckets": 64,
+                "created_at": now, "updated_at": now, **meta}
+        with open(os.path.join(path, _META), "w") as fh:
+            json.dump(full, fh, indent=2)
+        return full
+
+    def get_meta(self, name: str) -> dict:
+        try:
+            with open(os.path.join(self._path(name), _META)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise ServingError(f"feature set {name!r} does not exist") from None
+
+    def list_feature_sets(self) -> list[str]:
+        out = []
+        for e in sorted(os.listdir(self.root)):
+            if os.path.exists(os.path.join(self.root, e, _META)):
+                out.append(e)
+        return out
+
+    def delete_feature_set(self, name: str) -> None:
+        import shutil
+
+        self.get_meta(name)  # must exist
+        shutil.rmtree(self._path(name))
+
+    # -- ingest (reference DoPut, server.go:352) -------------------------
+    def append_batch(self, name: str, table: pa.Table) -> int:
+        """Schema-checked append of one Arrow table as a parquet file.
+        Writes are atomic (tmp + rename) like the catalog's
+        write-audit-publish; column order is normalized to the declared
+        schema so every data file is layout-identical."""
+        meta = self.get_meta(name)
+        declared = [f["name"] for f in meta["schema"]["fields"]]
+        got = table.column_names
+        if sorted(got) != sorted(declared):
+            raise ServingError(
+                f"batch schema {got} does not match feature set {declared}"
+            )
+        table = table.select(declared)
+        data_dir = os.path.join(self._path(name), "data")
+        os.makedirs(data_dir, exist_ok=True)
+        fname = f"ingest_{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(data_dir, "." + fname + ".tmp")
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, os.path.join(data_dir, fname))
+        return table.num_rows
+
+    # -- reads -----------------------------------------------------------
+    def dataset(self, name: str) -> pads.Dataset:
+        return pads.dataset(
+            os.path.join(self._path(name), "data"), format="parquet",
+            partitioning="hive",
+        )
+
+    def arrow_schema(self, name: str) -> pa.Schema:
+        return _spark_schema_to_arrow(self.get_meta(name)["schema"])
+
+    def get_features(self, name: str, entity_ids=None, as_of=None) -> pa.Table:
+        """Latest row per entity (reference GetFeatures; engine J1
+        semantics: ts desc, tiebreaks desc, optional as-of cutoff)."""
+        meta = self.get_meta(name)
+        return latest_from_dataset(
+            self.dataset(name), meta["entity_col"], meta["ts_col"],
+            tiebreaks=self._tiebreaks(meta), entity_ids=entity_ids, as_of=as_of,
+        )
+
+    def get_feature_history(self, name: str, entity_id, start, end) -> pa.Table:
+        """Inclusive-bounds history, newest first (reference
+        GetFeatureHistory; engine P3/O1 semantics)."""
+        meta = self.get_meta(name)
+        e, ts = meta["entity_col"], meta["ts_col"]
+        flt = (pads.field(e) == entity_id)
+        if start is not None:
+            flt = flt & (pads.field(ts) >= start)
+        if end is not None:
+            flt = flt & (pads.field(ts) <= end)
+        t = self.dataset(name).to_table(filter=flt)
+        order = [(ts, "descending")] + [(c, "descending") for c in self._tiebreaks(meta)]
+        return t.sort_by(order)
+
+    def _tiebreaks(self, meta: dict) -> list[str]:
+        names = [f["name"] for f in meta["schema"]["fields"]]
+        return [c for c in ("turn_idx", "event_id") if c in names]
+
+    def _path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ServingError(f"invalid feature set name {name!r}")
+        return os.path.join(self.root, name)
+
+
+class BucketedTable:
+    """Point-lookup view over a hash-bucketed checkpoint output
+    (``p_bucket=N`` directories from plans/checkpoint.run_with_checkpoint).
+
+    The lookup computes the entity's bucket with the pure-python
+    ``xxhash64`` twin of Spark's, so only ONE partition directory is
+    opened — the constant-work point read a 100 TB serving tier needs."""
+
+    def __init__(self, path: str, entity_col: str, ts_col: str, n_buckets: int):
+        self.path = path
+        self.entity_col = entity_col
+        self.ts_col = ts_col
+        self.n_buckets = n_buckets
+        self.ds = pads.dataset(path, format="parquet", partitioning="hive")
+
+    def bucket_filter(self, entity_ids) -> pads.Expression:
+        buckets = sorted({entity_bucket(e, self.n_buckets) for e in entity_ids})
+        return pads.field("p_bucket").isin(buckets) & pads.field(
+            self.entity_col
+        ).isin(list(entity_ids))
+
+    def rows_for(self, entity_ids) -> pa.Table:
+        t = self.ds.to_table(filter=self.bucket_filter(entity_ids))
+        return t.sort_by([(self.entity_col, "ascending"), (self.ts_col, "ascending")])
+
+    def fragments_scanned(self, entity_ids) -> list[str]:
+        """Data files the lookup touches (test/observability hook)."""
+        frags = self.ds.get_fragments(
+            filter=pads.field("p_bucket").isin(
+                sorted({entity_bucket(e, self.n_buckets) for e in entity_ids})
+            )
+        )
+        return [f.path for f in frags]
+
+
+def latest_from_dataset(
+    ds: pads.Dataset,
+    entity_col: str,
+    ts_col: str,
+    tiebreaks: list[str] | None = None,
+    entity_ids=None,
+    as_of=None,
+) -> pa.Table:
+    """Latest-per-entity over a pyarrow dataset: filter pushdown (entity
+    IN-list + as-of cutoff reach parquet row-group stats), then a
+    sort + first-per-group — the driver-side twin of
+    operators/latest.latest_per_entity (ts desc, tiebreaks desc, C2
+    determinism).  Output sorted by entity for stable wire order."""
+    tiebreaks = tiebreaks or []
+    flt = None
+    if entity_ids is not None:
+        flt = pads.field(entity_col).isin(list(entity_ids))
+    if as_of is not None:
+        c = pads.field(ts_col) <= as_of
+        flt = c if flt is None else (flt & c)
+    t = ds.to_table(filter=flt)
+    if t.num_rows == 0:
+        return t
+    order = [(entity_col, "ascending"), (ts_col, "descending")] + [
+        (c, "descending") for c in tiebreaks
+    ]
+    t = t.sort_by(order)
+    # first row of each entity run == the deterministic J1 winner
+    import numpy as np
+
+    ent = t.column(entity_col).to_numpy(zero_copy_only=False)
+    keep = np.empty(len(ent), dtype=bool)
+    keep[0] = True
+    keep[1:] = ent[1:] != ent[:-1]
+    return t.filter(pa.array(keep))

@@ -1,0 +1,196 @@
+"""Serving tier (SURVEY §2 S8/S9/S10): Arrow Flight + HTTP over the
+Spark-materialized store, differential against the Spark J1/P3 operators,
+plus the xxhash64 bucket-pruning point-lookup guarantee."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import struct
+import urllib.request
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from featherstore_spark.sources.flight import FeatureFlightClient, FeatureFlightServer
+
+SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("ts", T.TimestampNTZType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("f_val", T.DoubleType(), True),
+])
+
+
+def _batch(rows):
+    return pa.table({
+        "conv_id": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "turn_idx": pa.array([r[2] for r in rows], pa.int32()),
+        "f_val": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """A Flight server over a fresh catalog root with one ingested set."""
+    root = str(tmp_path_factory.mktemp("serving_root"))
+    server = FeatureFlightServer(root)
+    client = FeatureFlightClient(f"grpc://127.0.0.1:{server.port}")
+    client.create_feature_set(
+        "convfeat",
+        {"schema": SCHEMA.jsonValue(), "entity_col": "conv_id", "ts_col": "ts"},
+    )
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    rows = []
+    for c in range(6):
+        for i in range(5):
+            rows.append((f"conv_{c}", base + datetime.timedelta(minutes=10 * i + c), i, float(c * 100 + i)))
+    # equal-timestamp pair: turn_idx tiebreak must pick the higher one
+    rows.append(("conv_0", base + datetime.timedelta(minutes=40), 9, 999.0))
+    rows.append(("conv_0", base + datetime.timedelta(minutes=40), 8, 888.0))
+    n = client.ingest_batch("convfeat", _batch(rows))
+    assert n == len(rows)
+    yield {"root": root, "server": server, "client": client, "rows": rows}
+    server.shutdown()
+
+
+def test_flight_ddl_roundtrip(served):
+    c = served["client"]
+    assert c.list_feature_sets() == ["convfeat"]
+    meta = c.get_feature_set("convfeat")
+    assert meta["entity_col"] == "conv_id" and meta["ts_col"] == "ts"
+    c.create_feature_set("scratch", {"schema": SCHEMA.jsonValue(),
+                                     "entity_col": "conv_id", "ts_col": "ts"})
+    assert "scratch" in c.list_feature_sets()
+    c.delete_feature_set("scratch")
+    assert c.list_feature_sets() == ["convfeat"]
+
+
+def test_flight_get_features_matches_spark_j1(served, spark):
+    """DoGet latest-per-entity == the Spark latest_per_entity operator on
+    the very same data files (ts desc, turn_idx desc tiebreak)."""
+    from featherstore_spark.sources.catalog import FeatureCatalog
+
+    got = served["client"].get_features("convfeat", entity_ids=["conv_0", "conv_3"]).to_pandas()
+    cat = FeatureCatalog(spark, served["root"])
+    exp = (
+        cat.get_features("convfeat", entity_ids=["conv_0", "conv_3"])
+        .orderBy("conv_id").toPandas()
+    )
+    got, exp = got.reset_index(drop=True), exp.reset_index(drop=True)
+    assert list(got["conv_id"]) == list(exp["conv_id"])
+    assert list(got["turn_idx"]) == list(exp["turn_idx"]) == [9, 4]  # tiebreak: 9 beats 8
+    assert list(got["f_val"]) == list(exp["f_val"])
+    assert (got["ts"].astype("datetime64[ns]") == exp["ts"].astype("datetime64[ns]")).all()
+
+
+def test_flight_as_of_cutoff(served, spark):
+    """as_of excludes later rows — the point-in-time contract (C3:
+    inclusive bound)."""
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    cut = base + datetime.timedelta(minutes=20)  # == conv_0's turn 2 ts exactly
+    got = served["client"].get_features("convfeat", ["conv_0"], as_of=cut).to_pandas()
+    assert list(got["turn_idx"]) == [2]  # inclusive <=
+
+
+def test_flight_history_matches_spark_p3(served, spark):
+    from featherstore_spark.sources.catalog import FeatureCatalog
+
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    lo, hi = base + datetime.timedelta(minutes=10), base + datetime.timedelta(minutes=40)
+    got = served["client"].get_feature_history("convfeat", "conv_0", lo, hi).to_pandas()
+    cat = FeatureCatalog(spark, served["root"])
+    exp = cat.get_feature_history("convfeat", "conv_0", lo, hi).toPandas()
+    assert list(got["turn_idx"]) == list(exp["turn_idx"])  # newest first, tiebreak desc
+    assert (got["ts"].astype("datetime64[ns]") == exp["ts"].astype("datetime64[ns]")).all()
+
+
+def test_flight_put_rejects_wrong_schema(served):
+    import pyarrow.flight as fl
+
+    bad = pa.table({"conv_id": ["x"], "nope": [1]})
+    # a ValueError server-side maps to ArrowInvalid on the wire
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid), match="does not match"):
+        served["client"].ingest_batch("convfeat", bad)
+
+
+def test_http_matches_flight(served):
+    import urllib.error
+
+    from featherstore_spark.sources.http_api import start_in_thread
+
+    srv, _t = start_in_thread(served["root"])
+    port = srv.server_address[1]
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return json.loads(r.read().decode())
+
+        assert get("/feature-sets") == ["convfeat"]
+        assert get("/feature-sets/convfeat")["entity_col"] == "conv_id"
+        rows = get("/features/convfeat?entity_id=conv_0&entity_id=conv_3")
+        ft = served["client"].get_features("convfeat", ["conv_0", "conv_3"]).to_pylist()
+        assert [r["conv_id"] for r in rows] == [r["conv_id"] for r in ft]
+        assert [r["f_val"] for r in rows] == [r["f_val"] for r in ft]
+        hist = get(
+            "/history/convfeat?entity_id=conv_0"
+            "&start=2025-03-01T12:10:00&end=2025-03-01T12:40:00"
+        )
+        fh = served["client"].get_feature_history(
+            "convfeat", "conv_0",
+            datetime.datetime(2025, 3, 1, 12, 10), datetime.datetime(2025, 3, 1, 12, 40),
+        ).to_pylist()
+        assert [r["turn_idx"] for r in hist] == [r["turn_idx"] for r in fh]
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get("/feature-sets/nope")
+        assert exc.value.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_xxhash64_matches_spark(spark):
+    """The pure-python xxhash64 twin is bit-identical to F.xxhash64 for
+    strings (utf-8 bytes) and longs (little-endian 8 bytes) — the basis
+    of driver-side bucket pruning."""
+    from featherstore_spark.functions.hashing import xxhash64
+
+    strs = ["", "a", "conv_00000042", "x" * 7, "y" * 8, "z" * 31, "w" * 33, "héllo wörld"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string").withColumn("h", F.xxhash64("s"))
+    for r in df.collect():
+        assert xxhash64(r["s"].encode()) == r["h"], r["s"]
+    longs = [0, 1, -1, 42, 2**62, -(2**62)]
+    ldf = spark.createDataFrame([(v,) for v in longs], "v long").withColumn("h", F.xxhash64("v"))
+    for r in ldf.collect():
+        assert xxhash64(struct.pack("<q", r["v"])) == r["h"], r["v"]
+
+
+def test_bucketed_point_lookup_prunes_partitions(spark, transcripts, tmp_path):
+    """A point lookup over a checkpointed feature table opens ONLY the
+    p_bucket directory the entity hashes to (the O(table/N) serving
+    guarantee), and returns exactly the Spark-filtered rows."""
+    from featherstore_spark.functions.hashing import entity_bucket
+    from featherstore_spark.plans.checkpoint import run_with_checkpoint
+    from featherstore_spark.sources.serving import BucketedTable
+
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(transcripts, out, {"input": "serving-test", "params": {}}, n_buckets=8)
+
+    entity = transcripts.select("conv_id").first()["conv_id"]
+    bt = BucketedTable(out, "conv_id", "ts", n_buckets=8)
+    frags = bt.fragments_scanned([entity])
+    want = f"p_bucket={entity_bucket(entity, 8)}"
+    assert frags and all(want in p for p in frags)
+
+    got = bt.rows_for([entity]).to_pandas()
+    exp = (
+        spark.read.parquet(out)
+        .where(F.col("conv_id") == entity)
+        .orderBy("conv_id", "ts")
+        .toPandas()
+    )
+    assert len(got) == len(exp) > 0
+    assert list(got["turn_idx"]) == list(exp["turn_idx"])
+    assert list(got["cum_turns"]) == list(exp["cum_turns"])
