@@ -5,6 +5,7 @@ endpoint at /root/reference/pkg/metrics/metrics.go:204).  Pure stdlib
 uses, so both transports return byte-identical rows.
 
 Routes:
+- ``GET /metrics``                               → Prometheus text counters
 - ``GET /feature-sets``                          → ["name", …]
 - ``GET /feature-sets/<name>``                   → metadata JSON
 - ``GET /features/<name>?entity_id=a&entity_id=b[&as_of=ISO]``
@@ -62,6 +63,16 @@ class _Handler(BaseHTTPRequestHandler):
             u = urlparse(self.path)
             parts = [p for p in u.path.split("/") if p]
             q = parse_qs(u.query)
+            if parts == ["metrics"]:
+                # Prometheus text exposition (reference pkg/metrics
+                # /metrics endpoint, metrics.go:204)
+                body = self.store.metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             if parts == ["feature-sets"]:
                 return self._send(200, self.store.list_feature_sets())
             if len(parts) == 2 and parts[0] == "feature-sets":

@@ -60,6 +60,42 @@ def _spark_schema_to_arrow(schema_json: dict) -> pa.Schema:
     return pa.schema(fields)
 
 
+class ServingMetrics:
+    """Request/row counters for the serving tier (reference:
+    pkg/metrics/metrics.go — Prometheus counters around every Flight and
+    HTTP handler).  Thread-safe; rendered in the Prometheus text
+    exposition format at ``GET /metrics`` (http_api.py)."""
+
+    def __init__(self):
+        import collections
+        import threading
+
+        self._lock = threading.Lock()
+        self._requests = collections.Counter()
+        self._rows = collections.Counter()
+
+    def observe(self, op: str, rows: int = 0) -> None:
+        with self._lock:
+            self._requests[op] += 1
+            self._rows[op] += rows
+
+    def render(self) -> str:
+        lines = [
+            "# HELP featherstore_requests_total serving requests by operation",
+            "# TYPE featherstore_requests_total counter",
+        ]
+        with self._lock:
+            for op, n in sorted(self._requests.items()):
+                lines.append(f'featherstore_requests_total{{op="{op}"}} {n}')
+            lines += [
+                "# HELP featherstore_rows_total rows served/ingested by operation",
+                "# TYPE featherstore_rows_total counter",
+            ]
+            for op, n in sorted(self._rows.items()):
+                lines.append(f'featherstore_rows_total{{op="{op}"}} {n}')
+        return "\n".join(lines) + "\n"
+
+
 class ServingStore:
     """Feature-set store over a FeatureCatalog root directory — the same
     ``metadata.json`` + ``data/*.parquet`` layout sources/catalog.py
@@ -67,6 +103,7 @@ class ServingStore:
 
     def __init__(self, root: str):
         self.root = root
+        self.metrics = ServingMetrics()
         os.makedirs(root, exist_ok=True)
 
     # -- DDL (reference DoAction create/get/list/delete, server.go:477) --
@@ -120,6 +157,7 @@ class ServingStore:
                 f"batch schema {got} does not match feature set {declared}"
             )
         table = table.select(declared)
+        self.metrics.observe("ingest", table.num_rows)
         data_dir = os.path.join(self._path(name), "data")
         os.makedirs(data_dir, exist_ok=True)
         fname = f"ingest_{uuid.uuid4().hex}.parquet"
@@ -142,6 +180,7 @@ class ServingStore:
         """Latest row per entity (reference GetFeatures; engine J1
         semantics: ts desc, tiebreaks desc, optional as-of cutoff)."""
         meta = self.get_meta(name)
+        self.metrics.observe("get_features")
         return latest_from_dataset(
             self.dataset(name), meta["entity_col"], meta["ts_col"],
             tiebreaks=self._tiebreaks(meta), entity_ids=entity_ids, as_of=as_of,
@@ -151,6 +190,7 @@ class ServingStore:
         """Inclusive-bounds history, newest first (reference
         GetFeatureHistory; engine P3/O1 semantics)."""
         meta = self.get_meta(name)
+        self.metrics.observe("get_feature_history")
         e, ts = meta["entity_col"], meta["ts_col"]
         flt = (pads.field(e) == entity_id)
         if start is not None:

@@ -194,3 +194,25 @@ def test_bucketed_point_lookup_prunes_partitions(spark, transcripts, tmp_path):
     assert len(got) == len(exp) > 0
     assert list(got["turn_idx"]) == list(exp["turn_idx"])
     assert list(got["cum_turns"]) == list(exp["cum_turns"])
+
+
+def test_metrics_endpoint(served):
+    """GET /metrics renders Prometheus text counters tracking the
+    store's requests and rows (reference pkg/metrics parity)."""
+    from featherstore_spark.sources.http_api import start_in_thread
+
+    srv, _t = start_in_thread(served["root"])
+    port = srv.server_address[1]
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/features/convfeat?entity_id=conv_1"
+        ):
+            pass
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            text = r.read().decode()
+            ctype = r.headers["Content-Type"]
+    finally:
+        srv.shutdown()
+    assert "text/plain" in ctype
+    assert 'featherstore_requests_total{op="get_features"} 1' in text
+    assert "# TYPE featherstore_requests_total counter" in text
