@@ -72,3 +72,71 @@ def test_asof_equals_oracle_on_random_inputs(sparkref, feats, spine, strategy):
     got_tb = got["f_turn_idx"].astype("float64")
     exp_tb = exp["f_turn_idx"].astype("float64")
     pd.testing.assert_series_equal(got_tb, exp_tb, check_names=False)
+
+
+# -- winnowing: both engine paths vs the pure-python reference on -------
+# -- arbitrary unicode text (whitespace zoo, combining marks, emoji) ----
+
+_winnow_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(s=_winnow_text)
+def test_winnow_numpy_kernel_matches_pure_python(s):
+    """The numpy sliding-min kernel (scale path) equals the pure-hashlib
+    reference for ANY input text — incl. the normalization edge zoo.
+    Driver-side only (no Spark per example), so hundreds of examples are
+    cheap; the Spark-side equivalence of the full column paths is pinned
+    by test_text_dedup.py."""
+    import hashlib
+    import re
+
+    from featherstore_spark.functions.text import _winnow_doc_numpy
+
+    k, w = 8, 4
+    # the JVM normalization twin: ASCII \s+ collapse, strip 0x20, lower
+    norm = re.sub(r"\s+", " ", s, flags=re.ASCII).strip(" ").lower()
+    got = list(_winnow_doc_numpy(norm, k, w))
+    if not norm:
+        assert got == []
+        return
+    n = max(len(norm) - (k - 1), 1)
+    hs = [int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:15], 16) for i in range(n)]
+    m = max(n - (w - 1), 1)
+    assert got == sorted({min(hs[j:j + w]) for j in range(m)})
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(max_size=200))
+def test_pnm_parser_total_on_arbitrary_bytes(data):
+    """parse_pnm_header never raises on arbitrary bytes — corrupt
+    payloads must become NULL metadata, not task failures."""
+    from featherstore_spark.functions.multimodal import parse_pnm_header
+
+    out = parse_pnm_header(data)
+    assert out is None or (
+        len(out) == 3 and out[0] > 0 and out[1] > 0 and out[2] in (1, 3)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12), h=st.integers(1, 12),
+    maxval=st.sampled_from([1, 255, 256, 65535]),
+    comment=st.booleans(), magic=st.sampled_from([b"P5", b"P6"]),
+)
+def test_pnm_parser_roundtrips_valid_images(w, h, maxval, comment, magic):
+    """Every syntactically valid binary PNM parses to its true
+    dimensions; off-by-one payload truncation is rejected."""
+    from featherstore_spark.functions.multimodal import parse_pnm_header
+
+    ch = 3 if magic == b"P6" else 1
+    bps = 2 if maxval > 255 else 1
+    header = magic + b"\n" + (b"# c\n" if comment else b"") + f"{w} {h} {maxval}\n".encode()
+    body = bytes((i * 7) % 256 for i in range(w * h * ch * bps))
+    assert parse_pnm_header(header + body) == (w, h, ch)
+    assert parse_pnm_header(header + body[:-1]) is None
+    assert parse_pnm_header(header + body + b"\x00") is None
