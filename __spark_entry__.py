@@ -474,6 +474,19 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_char_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup pairs (dedup.char_ngram_jaccard
+    _pairs): token-free similarity — robust to whitespace damage and
+    unsegmented languages — blocked on the lang column to bound the pair
+    space.  Gram sets ride the zero-shuffle winnowing pandas kernel with
+    w=1 (every distinct gram hash); the 8-byte int sets keep the pair
+    join narrow."""
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_ngram_jaccard_pairs(docs, n=3, threshold=0.6, block_col="lang")
+
+
 def q_winnow_near_dups(spark, sf_dir):
     """Partial-copy pair detection over winnowing fingerprints
     (operators/dedup.winnow_near_duplicates): docs sharing >= 20 selected
@@ -620,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
+        "char_ngram_jaccard": q_char_ngram_jaccard,
         "jaccard_pairs": q_jaccard_pairs,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "media_byte_stats": q_media_byte_stats,
@@ -835,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_fingerprints": _WINNOW_ORACLE,
         "winnow_near_dups": _WINNOW_PAIRS_ORACLE,
+        "char_ngram_jaccard": _CHAR_NGRAM_JACCARD_ORACLE,
         "jaccard_pairs": _build_minhash_pairs_oracle(threshold=0.8),
         "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "media_byte_stats": """
@@ -955,6 +970,30 @@ def _build_winnow_pairs_oracle(
 
 _WINNOW_ORACLE = _build_winnow_oracle(k=8, w=4)
 _WINNOW_PAIRS_ORACLE = _build_winnow_pairs_oracle(k=8, w=4, min_shared=20, max_fp_docs=50)
+
+
+def _build_char_ngram_jaccard_oracle(n: int = 3, threshold: float = 0.6) -> str:
+    """SQL twin of dedup.char_ngram_jaccard_pairs (lang-blocked): with a
+    window of 1 the shared winnowing CTE degenerates to the distinct
+    md5_long60 hash per overlapping char n-gram — exactly the engine's
+    gram set.  Jaccard on the int sets; the threshold applies to the
+    ROUNDED value, as the engine emits it."""
+    return rf"""
+        WITH {_winnow_mins_cte(n, 1)}, gl AS (
+          SELECT m.doc_id, d.lang, m.fps FROM mins m JOIN documents d USING (doc_id)
+        ), pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 ROUND(CASE WHEN len(list_distinct(list_concat(a.fps, b.fps))) > 0
+                       THEN len(list_intersect(a.fps, b.fps))::DOUBLE
+                            / len(list_distinct(list_concat(a.fps, b.fps)))::DOUBLE
+                       ELSE 0.0 END, 6) AS jaccard
+          FROM gl a JOIN gl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM pr WHERE jaccard >= {threshold}
+    """
+
+
+_CHAR_NGRAM_JACCARD_ORACLE = _build_char_ngram_jaccard_oracle(n=3, threshold=0.6)
 
 
 def _stopword_sql_list() -> str:

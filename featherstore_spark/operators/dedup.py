@@ -418,6 +418,70 @@ def winnow_near_duplicates(
     )
 
 
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact CHARACTER-n-gram Jaccard over document pairs — the
+    token-free near-dup kernel (robust to tokenization differences,
+    whitespace damage, and languages without word boundaries; the
+    n-gram-Jaccard member of the dedup family next to the token-set
+    :func:`jaccard_pairs`).
+
+    The gram set is ``winnow_fingerprint_set(k=n, w=1)``: with a window
+    of 1 every gram's min is itself, so the winnowing kernel degenerates
+    to the distinct md5_long60 hash per overlapping char n-gram — same
+    zero-shuffle vectorized pandas path, same JVM normalization, 8-byte
+    ints instead of gram strings on the pair join.  Hash collisions
+    (2^-60 per gram pair) are negligible and IDENTICAL in the DuckDB
+    twin, so values still verify exactly.
+
+    Pair-space bounding mirrors :func:`jaccard_pairs`: pass
+    ``candidates`` (the scale path) or ``block_col`` (equality blocking);
+    with neither this is a crossJoin for small inputs only."""
+    from featherstore_spark.functions.text import balance_small_input, winnow_fingerprint_set
+
+    grams = balance_small_input(df).select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprint_set(text_col, k=n, w=1).alias("g"),
+        *([block_col] if block_col else []),
+    )
+    if candidates is not None:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a")), "id_a")
+            .join(grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b")), "id_b")
+        )
+    else:
+        left = grams.select(
+            F.col("id").alias("id_a"), F.col("g").alias("g_a"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+        )
+        right = grams.select(
+            F.col("id").alias("id_b"), F.col("g").alias("g_b"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+        )
+        cond = F.col("id_a") < F.col("id_b")
+        pairs = (
+            left.join(right, "blk").where(cond)
+            if block_col
+            else left.crossJoin(right).where(cond)
+        )
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ------------------------------------------------------------- embedding --
 
 def embedding_near_duplicates(

@@ -358,3 +358,40 @@ def test_winnow_pandas_set_matches_testdata_corpus(spark):
     assert set(via_pandas) >= set(via_window)
     for doc_id, fps in via_pandas.items():
         assert sorted(via_window.get(doc_id, [])) == fps, f"doc {doc_id}"
+
+
+def test_char_ngram_jaccard_matches_pure_python(spark):
+    """Char-3-gram Jaccard (token-free kernel) equals a direct python
+    set computation — incl. whitespace-damaged twins that TOKEN jaccard
+    scores much lower (the case this operator exists for)."""
+    import re
+
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown foxjumps over thelazy dog", "en"),  # damaged spaces
+        (3, "völlig anderer deutscher text über nichts", "de"),
+        (4, None, "en"),
+        (5, "", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in char_ngram_jaccard_pairs(
+            df, n=3, threshold=0.0001, block_col="lang"
+        ).collect()
+    }
+
+    def grams(t):
+        s = re.sub(r"\s+", " ", t or "", flags=re.ASCII).strip(" ").lower()
+        n = max(len(s) - 2, 1) if s else 0
+        return {s[i:i + 3] for i in range(n)}
+
+    texts = {i: t for i, t, _ in rows}
+    g1, g2 = grams(texts[1]), grams(texts[2])
+    exp_12 = round(len(g1 & g2) / len(g1 | g2), 6)
+    assert got[(1, 2)] == exp_12
+    assert exp_12 > 0.6  # survives the damage...
+    assert (1, 3) not in got and (2, 3) not in got  # cross-lang blocked
+    assert all(4 not in p and 5 not in p for p in got)  # empty docs pair with nothing
