@@ -104,14 +104,48 @@ def parse_pnm_header(b: bytes | None) -> tuple[int, int, int] | None:
     return (width, height, channels)
 
 
+def parse_wav_header(b: bytes | None) -> tuple[int, int, int] | None:
+    """REAL audio decode for RIFF/WAVE payloads: pure chunk-walk, no
+    libraries.  Returns ``(n_frames, sample_rate, channels)`` — mapped
+    onto the DECODED_FIELDS triple as (width, height, channels), the
+    audio analogue of image dimensions (documented in decode_media).
+    ``None`` for anything malformed: wrong magic, missing fmt/data
+    chunks, or a data chunk that is not a whole number of frames."""
+    import struct
+
+    if b is None or len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = sample_rate = bits = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (csize,) = struct.unpack_from("<I", b, i + 4)
+        if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= len(b):
+            _fmt, channels, sample_rate = struct.unpack_from("<HHI", b, i + 8)
+            (bits,) = struct.unpack_from("<H", b, i + 8 + 14)
+        elif cid == b"data":
+            data_size = min(csize, len(b) - (i + 8))  # truncated files cap here
+            if csize > len(b) - (i + 8):
+                return None  # declared more samples than the payload holds
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not channels or not sample_rate or not bits or data_size is None:
+        return None
+    frame_bytes = channels * (bits // 8)
+    if frame_bytes == 0 or data_size % frame_bytes:
+        return None
+    return (data_size // frame_bytes, sample_rate, channels)
+
+
 def decode_media(df: DataFrame, decoder: str = "fake", batch_rows: int = 256) -> DataFrame:
     """Decode/feature-extract binary payloads via ``mapInPandas``.
 
     - byte_len / mean_byte / payload_md5 are REAL (computed from payload).
     - width/height/channels come from the decoder: 'ppm' is a REAL
       decoder for binary netpbm payloads (P6/P5 header parse, pure
-      stdlib+numpy — genuine dimensions from genuine bytes; anything
-      malformed yields NULL dims); 'fake' derives them deterministically
+      stdlib+numpy — genuine dimensions from genuine bytes); 'wav' is
+      the REAL audio analogue (RIFF chunk walk; the triple carries
+      n_frames/sample_rate/channels); anything malformed yields NULL
+      dims, never task failures.  'fake' derives dims deterministically
       from the payload hash (pipeline-testable stand-in for compressed
       formats); 'pil' is the compressed-codec slot and raises
       NotImplementedError while PIL is absent.
@@ -173,10 +207,13 @@ def decode_media(df: DataFrame, decoder: str = "fake", batch_rows: int = 256) ->
                     width = (h % 1920 + 1).astype("int32")
                     height = (h // 1920 % 1080 + 1).astype("int32")
                     channels = (h % 3 + 1).astype("int32")
-                elif decoder == "ppm":
+                elif decoder in ("ppm", "wav"):
                     # real decode: per-row header parse only (a few dozen
-                    # bytes each); the pixel section is never iterated
-                    dims = [parse_pnm_header(p) for p in payloads]
+                    # bytes each); the sample/pixel section is never
+                    # iterated.  wav maps (n_frames, sample_rate,
+                    # channels) onto (width, height, channels).
+                    parse = parse_pnm_header if decoder == "ppm" else parse_wav_header
+                    dims = [parse(p) for p in payloads]
                     width = pd.Series(
                         [d[0] if d else None for d in dims], index=chunk.index, dtype="Int32"
                     )

@@ -104,3 +104,50 @@ def test_ppm_decoder_real_dimensions(spark):
     # the parser itself round-trips numpy-built images exactly
     assert parse_pnm_header(ppm(1, 1)) == (1, 1, 3)
     assert parse_pnm_header(pgm16(2, 2)) == (2, 2, 1)
+
+
+def test_wav_decoder_real_audio_metadata(spark):
+    """decoder='wav' parses genuine RIFF/WAVE payloads: true
+    (n_frames, sample_rate, channels) through the same mapInPandas path;
+    truncated or chunk-less payloads yield NULL dims."""
+    import struct
+
+    import numpy as np
+
+    from featherstore_spark.functions.multimodal import decode_media, parse_wav_header
+
+    rng = np.random.default_rng(3)
+
+    def wav(n_frames, rate, channels, bits=16, extra_chunk=False, truncate=0):
+        data = rng.integers(-32768, 32767, n_frames * channels, dtype=np.int16).tobytes()
+        if bits == 8:
+            data = rng.integers(0, 256, n_frames * channels, dtype=np.uint8).tobytes()
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:  # LIST metadata chunk between fmt and data
+            chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # word-aligned
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        body = b"WAVE" + chunks
+        out = b"RIFF" + struct.pack("<I", len(body)) + body
+        return out[:-truncate] if truncate else out
+
+    payloads = {
+        1: wav(100, 16000, 1),
+        2: wav(40, 44100, 2, extra_chunk=True),
+        3: wav(10, 8000, 1, bits=8),
+        4: wav(100, 16000, 1, truncate=5),  # data chunk shorter than declared
+        5: b"RIFFxxxxWAVE",                 # no chunks at all
+        6: b"ID3\x03not a wav",             # wrong magic
+    }
+    rows = [(i, "audio", p, "audio/wav", None) for i, p in payloads.items()]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, source_uri string"
+    )
+    got = {r["media_id"]: r for r in decode_media(df, decoder="wav").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (100, 16000, 1)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (40, 44100, 2)
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"]) == (10, 8000, 1)
+    for bad in (4, 5, 6):
+        assert got[bad]["width"] is None, bad
+    assert parse_wav_header(wav(7, 22050, 2)) == (7, 22050, 2)

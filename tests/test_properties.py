@@ -140,3 +140,13 @@ def test_pnm_parser_roundtrips_valid_images(w, h, maxval, comment, magic):
     assert parse_pnm_header(header + body) == (w, h, ch)
     assert parse_pnm_header(header + body[:-1]) is None
     assert parse_pnm_header(header + body + b"\x00") is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(max_size=200))
+def test_wav_parser_total_on_arbitrary_bytes(data):
+    """parse_wav_header never raises on arbitrary bytes."""
+    from featherstore_spark.functions.multimodal import parse_wav_header
+
+    out = parse_wav_header(data)
+    assert out is None or (len(out) == 3 and all(v > 0 for v in out))
