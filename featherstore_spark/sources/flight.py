@@ -66,9 +66,16 @@ class FeatureFlightServer(fl.FlightServerBase):
     # -- reads -----------------------------------------------------------
     def do_get(self, context, ticket):
         t = json.loads(ticket.ticket.decode())
+        if t.get("bucketed_table"):
+            # point lookup over a registered checkpoint output: only the
+            # p_bucket dirs the entities hash to are opened (serving.py)
+            table = self.store.get_bucketed_rows(
+                t["bucketed_table"], t.get("entity_ids") or []
+            )
+            return fl.RecordBatchStream(table)
         name = t.get("feature_set")
         if not name:
-            raise fl.FlightServerError("ticket must name a feature_set")
+            raise fl.FlightServerError("ticket must name a feature_set or bucketed_table")
         if t.get("entity_id") is not None and (t.get("start_time") or t.get("end_time")):
             table = self.store.get_feature_history(
                 name, t["entity_id"], _parse_ts(t.get("start_time")), _parse_ts(t.get("end_time")),
@@ -131,6 +138,10 @@ class FeatureFlightClient:
             t["entity_ids"] = list(entity_ids)
         if as_of is not None:
             t["as_of"] = as_of.isoformat() if hasattr(as_of, "isoformat") else as_of
+        return self.conn.do_get(fl.Ticket(json.dumps(t).encode())).read_all()
+
+    def get_bucketed_rows(self, table: str, entity_ids):
+        t = {"bucketed_table": table, "entity_ids": list(entity_ids)}
         return self.conn.do_get(fl.Ticket(json.dumps(t).encode())).read_all()
 
     def get_feature_history(self, feature_set: str, entity_id, start, end):

@@ -60,6 +60,28 @@ def _spark_schema_to_arrow(schema_json: dict) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _manifest_n_buckets(path: str):
+    """The write-time bucket modulus from a checkpoint manifest's lineage
+    (searched recursively for an ``n_buckets`` key), or None."""
+    try:
+        with open(os.path.join(path, "_manifest.json")) as fh:
+            lineage = json.load(fh).get("lineage", {})
+    except (FileNotFoundError, ValueError):
+        return None
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "n_buckets" and isinstance(v, int):
+                    return v
+                found = walk(v)
+                if found is not None:
+                    return found
+        return None
+
+    return walk(lineage)
+
+
 class ServingMetrics:
     """Request/row counters for the serving tier (reference:
     pkg/metrics/metrics.go — Prometheus counters around every Flight and
@@ -209,6 +231,59 @@ class ServingStore:
         if "/" in name or name.startswith("."):
             raise ServingError(f"invalid feature set name {name!r}")
         return os.path.join(self.root, name)
+
+    # -- bucketed checkpoint outputs (plans/checkpoint.py) ---------------
+    def register_bucketed_table(
+        self,
+        name: str,
+        path: str,
+        entity_col: str = "conv_id",
+        ts_col: str = "ts",
+        n_buckets: int | None = None,
+    ) -> dict:
+        """Register a ``p_bucket=``-partitioned checkpoint output (the
+        flagship materialization) for point serving.  ``n_buckets`` must
+        equal the modulus the table was WRITTEN with; when omitted it is
+        read from the checkpoint manifest's lineage (any ``n_buckets``
+        key).  It is deliberately NEVER inferred from the ``p_bucket=``
+        directory count: a bucket with zero output rows writes no
+        directory, and a wrong modulus silently prunes point lookups to
+        the wrong partition — serving empty results for present
+        entities, the worst failure mode.  Registration is
+        metadata-only: a JSON pointer under the root, no data
+        movement."""
+        if n_buckets is None:
+            n_buckets = _manifest_n_buckets(path)
+            if n_buckets is None:
+                raise ServingError(
+                    f"cannot determine n_buckets for {path!r}: no 'n_buckets' "
+                    "key in its checkpoint manifest lineage — pass n_buckets "
+                    "explicitly (it must equal the write-time bucket modulus; "
+                    "directory counting would miss empty buckets)"
+                )
+        reg = {"kind": "bucketed_table", "path": path, "entity_col": entity_col,
+               "ts_col": ts_col, "n_buckets": n_buckets}
+        os.makedirs(self._path(name), exist_ok=True)
+        with open(os.path.join(self._path(name), "bucketed.json"), "w") as fh:
+            json.dump(reg, fh, indent=2)
+        return reg
+
+    def bucketed(self, name: str) -> "BucketedTable":
+        try:
+            with open(os.path.join(self._path(name), "bucketed.json")) as fh:
+                reg = json.load(fh)
+        except FileNotFoundError:
+            raise ServingError(f"no bucketed table registered as {name!r}") from None
+        return BucketedTable(
+            reg["path"], reg["entity_col"], reg["ts_col"], reg["n_buckets"]
+        )
+
+    def get_bucketed_rows(self, name: str, entity_ids) -> pa.Table:
+        """All rows for the requested entities from a registered bucketed
+        table — opens only the partition directories the entities hash to
+        (see BucketedTable)."""
+        self.metrics.observe("get_bucketed_rows")
+        return self.bucketed(name).rows_for(entity_ids)
 
 
 class BucketedTable:

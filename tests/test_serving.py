@@ -216,3 +216,49 @@ def test_metrics_endpoint(served):
     assert "text/plain" in ctype
     assert 'featherstore_requests_total{op="get_features"} 1' in text
     assert "# TYPE featherstore_requests_total counter" in text
+
+
+def test_flight_serves_bucketed_checkpoint_output(spark, transcripts, tmp_path):
+    """End-to-end compute->serve: a checkpointed materialization is
+    registered and point-served over Flight, rows identical to the Spark
+    filter, through the bucket-pruned read path."""
+    from featherstore_spark.plans.checkpoint import run_with_checkpoint
+
+    from featherstore_spark.sources.serving import ServingError
+
+    out = str(tmp_path / "feat")
+    # lineage carries n_buckets (as the CLI writes it): registration
+    # reads the write-time modulus from the manifest
+    run_with_checkpoint(
+        transcripts, out,
+        {"input": "flight-serve", "params": {"n_buckets": 8}}, n_buckets=8,
+    )
+
+    root = str(tmp_path / "root")
+    server = FeatureFlightServer(root)
+    try:
+        client = FeatureFlightClient(f"grpc://127.0.0.1:{server.port}")
+        reg = server.store.register_bucketed_table("featlog", out)
+        assert reg["n_buckets"] == 8
+        # a wrong modulus would silently serve empty results, so without
+        # a manifest hint the store must refuse to guess (empty buckets
+        # write no directory — dir counting is NOT a safe default)
+        bare = str(tmp_path / "bare")
+        run_with_checkpoint(transcripts, bare, {"input": "no-hint", "params": {}}, n_buckets=8)
+        with pytest.raises(ServingError, match="n_buckets"):
+            server.store.register_bucketed_table("bare", bare)
+        reg2 = server.store.register_bucketed_table("bare", bare, n_buckets=8)
+        assert reg2["n_buckets"] == 8
+        entities = [r["conv_id"] for r in transcripts.select("conv_id").distinct().limit(2).collect()]
+        got = client.get_bucketed_rows("featlog", entities).to_pandas()
+        exp = (
+            spark.read.parquet(out)
+            .where(F.col("conv_id").isin(entities))
+            .orderBy("conv_id", "ts")
+            .toPandas()
+        )
+        assert len(got) == len(exp) > 0
+        assert list(got["conv_id"]) == list(exp["conv_id"])
+        assert list(got["cum_turns"]) == list(exp["cum_turns"])
+    finally:
+        server.shutdown()
