@@ -137,6 +137,7 @@ def main(argv: list[str] | None = None) -> int:
     spine = spark.read.parquet(args.spine)
 
     asof_bucket = args.asof_bucket
+    cache_width_after_run = None
     if args.asof_strategy == "bucketed" and asof_bucket == "auto":
         # Resolve the auto width ONCE per materialization (VERDICT r3 #6):
         # the density stat is over (conv_id, ts) of the raw transcripts —
@@ -148,7 +149,14 @@ def main(argv: list[str] | None = None) -> int:
         width = None if manifest.lineage_changed else manifest.get_stat("asof_width_us")
         if width is None:
             width = auto_bucket_width_us(transcripts, on="conv_id", ts="ts")
-            if not manifest.lineage_changed:
+            # On a lineage CHANGE the stat cannot be written yet (flushing
+            # the new-lineage state now would mask the change from
+            # run_with_checkpoint's stale-data clearing) — it is cached
+            # into the post-run manifest below, so the NEXT resume still
+            # skips the stats job.
+            if manifest.lineage_changed:
+                cache_width_after_run = int(width)
+            else:
                 manifest.set_stat("asof_width_us", width)
         asof_bucket = int(width)
 
@@ -168,6 +176,11 @@ def main(argv: list[str] | None = None) -> int:
         spine=spine,
         **ckpt_kwargs,
     )
+    if cache_width_after_run is not None:
+        # the run reset the manifest to the new lineage; attach the stat
+        CheckpointManifest(args.manifest_dir or args.output, lineage).set_stat(
+            "asof_width_us", cache_width_after_run
+        )
     print(json.dumps({"output": args.output, **metrics}))
     return 0
 

@@ -124,9 +124,9 @@ def parse_wav_header(b: bytes | None) -> tuple[int, int, int] | None:
             _fmt, channels, sample_rate = struct.unpack_from("<HHI", b, i + 8)
             (bits,) = struct.unpack_from("<H", b, i + 8 + 14)
         elif cid == b"data":
-            data_size = min(csize, len(b) - (i + 8))  # truncated files cap here
             if csize > len(b) - (i + 8):
-                return None  # declared more samples than the payload holds
+                return None  # truncated: declared more samples than present
+            data_size = csize
         i += 8 + csize + (csize & 1)  # chunks are word-aligned
     if not channels or not sample_rate or not bits or data_size is None:
         return None

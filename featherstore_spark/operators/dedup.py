@@ -51,10 +51,13 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     partial aggregation: every row of the hottest key lands in ONE task
     before the cap can drop it — the cap itself becomes the straggler.
 
-    ``df`` is evaluated twice (count pass + anti-join pass); when it is a
-    branch of a shuffle-producing plan (e.g. the minhash signature
-    aggregate), Spark's ReuseExchange serves the second pass from the
-    first's shuffle files."""
+    ``df`` is evaluated twice (count pass + anti-join pass).  When the
+    expensive work sits BELOW a shuffle in ``df``'s plan (the minhash
+    signature aggregate), Spark's ReuseExchange serves the second pass
+    from the first's shuffle files; when it sits ABOVE the last exchange
+    (the winnowing pandas UDF), it genuinely re-executes — callers with a
+    costly upstream should materialize it first and pass the
+    materialized table (winnow_near_duplicates ``fingerprints=``)."""
     hot = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__kf"))
@@ -381,6 +384,7 @@ def winnow_near_duplicates(
     w: int = 4,
     min_shared: int = 5,
     max_fp_docs: int | None = 1000,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Partial-copy detection via winnowing fingerprints
     (functions/text.winnow_fingerprints): pairs of documents sharing at
@@ -397,12 +401,24 @@ def winnow_near_duplicates(
     before pairing (map-combinable _drop_hot_keys) — a boilerplate k-gram
     in f docs emits O(f^2) pairs, the same hot-bucket failure mode
     lsh_candidate_pairs caps; genuinely near-dup pairs still meet through
-    their rarer fingerprints."""
+    their rarer fingerprints.
+
+    ``fingerprints``: an already-computed ``(id_col, fp)`` rows table
+    (e.g. winnow_fingerprint_rows materialized via checkpoint).  The
+    in-line path evaluates the fingerprint UDF once per plan consumer
+    (count pass + both join sides — the UDF sits above the last exchange,
+    out of ReuseExchange's reach); at corpus scale materialize the
+    fingerprints FIRST and pass them here so the per-document compute
+    runs exactly once."""
     from featherstore_spark.functions.text import winnow_fingerprint_rows
 
+    rows = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprint_rows(df, id_col, text_col, k, w)
+    )
     ex = (
-        winnow_fingerprint_rows(df, id_col, text_col, k, w)
-        .where(F.col("fp").isNotNull())  # empty docs pair with nothing
+        rows.where(F.col("fp").isNotNull())  # empty docs pair with nothing
         .select(F.col(id_col).alias("id"), "fp")
     )
     if max_fp_docs is not None:

@@ -132,6 +132,12 @@ def _looks_tool_owned(output_path: str) -> bool:
         return True
     if not entries:
         return True
+    # a crashed FIRST run leaves only Spark write machinery (_temporary/,
+    # possibly _SUCCESS + its .crc) — no data, nothing to lose, clearable;
+    # the positive-marker rule below applies once any data/manifest exists
+    machinery = ("_temporary", "_SUCCESS", "._SUCCESS")
+    if all(e.startswith(machinery) for e in entries):
+        return True
     has_marker = any(
         e == MANIFEST or e.startswith(("p_bucket=", MANIFEST + ".tmp")) for e in entries
     )

@@ -27,7 +27,7 @@ operators in tests/test_serving.py.
 from __future__ import annotations
 
 import json
-from datetime import datetime
+from datetime import datetime, timezone
 
 import pyarrow.flight as fl
 
@@ -35,9 +35,19 @@ from featherstore_spark.sources.serving import ServingError, ServingStore
 
 
 def _parse_ts(v):
-    if v is None or isinstance(v, datetime):
-        return v
-    return datetime.fromisoformat(str(v).replace("Z", "+00:00")).replace(tzinfo=None)
+    """RFC3339/ISO-8601 → UTC-naive datetime (stored timestamps are
+    UTC-naive; session tz pinned UTC).  Offset-carrying inputs are
+    CONVERTED to UTC before the tzinfo drop — stripping the offset
+    directly would shift the queried instant by the offset."""
+    if v is None:
+        return None
+    if isinstance(v, datetime):
+        dt = v
+    else:
+        dt = datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 class FeatureFlightServer(fl.FlightServerBase):
@@ -76,7 +86,10 @@ class FeatureFlightServer(fl.FlightServerBase):
         name = t.get("feature_set")
         if not name:
             raise fl.FlightServerError("ticket must name a feature_set or bucketed_table")
-        if t.get("entity_id") is not None and (t.get("start_time") or t.get("end_time")):
+        if t.get("entity_id") is not None:
+            # singular entity_id selects the HISTORY path regardless of
+            # bounds (None = unbounded); routing on the bounds would
+            # silently fall through to latest-per-ALL-entities
             table = self.store.get_feature_history(
                 name, t["entity_id"], _parse_ts(t.get("start_time")), _parse_ts(t.get("end_time")),
             )

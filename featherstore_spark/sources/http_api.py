@@ -28,13 +28,8 @@ from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from featherstore_spark.sources.flight import _parse_ts
 from featherstore_spark.sources.serving import ServingError, ServingStore
-
-
-def _parse_ts(v):
-    if v is None:
-        return None
-    return datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
 
 
 def _rows(table) -> list[dict]:

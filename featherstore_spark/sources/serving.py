@@ -179,6 +179,25 @@ class ServingStore:
                 f"batch schema {got} does not match feature set {declared}"
             )
         table = table.select(declared)
+        # normalize column TYPES to the declared schema where it maps to a
+        # concrete arrow type: one mistyped batch (e.g. ts as string)
+        # would otherwise write a file that poisons schema unification for
+        # every subsequent read of the set
+        target = {f.name: f.type for f in _spark_schema_to_arrow(meta["schema"])}
+        cols = []
+        for field in table.schema:
+            want = target.get(field.name)
+            if want is not None and field.type != want and not pa.types.is_string(want):
+                try:
+                    cols.append(table.column(field.name).cast(want))
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
+                    raise ServingError(
+                        f"column {field.name!r} type {field.type} is not castable "
+                        f"to the declared {want}"
+                    ) from exc
+            else:
+                cols.append(table.column(field.name))
+        table = pa.table(dict(zip(table.column_names, cols)))
         self.metrics.observe("ingest", table.num_rows)
         data_dir = os.path.join(self._path(name), "data")
         os.makedirs(data_dir, exist_ok=True)
@@ -190,10 +209,13 @@ class ServingStore:
 
     # -- reads -----------------------------------------------------------
     def dataset(self, name: str) -> pads.Dataset:
-        return pads.dataset(
-            os.path.join(self._path(name), "data"), format="parquet",
-            partitioning="hive",
-        )
+        data_dir = os.path.join(self._path(name), "data")
+        if not os.path.isdir(data_dir):
+            # created-but-never-ingested set: an EMPTY dataset with the
+            # declared schema, so reads return zero rows, not FileNotFound
+            self.get_meta(name)  # unknown names must still 404
+            return pads.dataset([], format="parquet", schema=self.arrow_schema(name))
+        return pads.dataset(data_dir, format="parquet", partitioning="hive")
 
     def arrow_schema(self, name: str) -> pa.Schema:
         return _spark_schema_to_arrow(self.get_meta(name)["schema"])
@@ -300,6 +322,17 @@ class BucketedTable:
         self.ts_col = ts_col
         self.n_buckets = n_buckets
         self.ds = pads.dataset(path, format="parquet", partitioning="hive")
+        # entity_bucket reproduces Spark's xxhash64 for utf8 strings and
+        # 8-byte longs ONLY; a 4-byte int entity hashes differently in
+        # Spark, which would prune lookups to the wrong directory —
+        # refuse rather than silently serve empty results
+        etype = self.ds.schema.field(entity_col).type
+        if not (pa.types.is_string(etype) or pa.types.is_large_string(etype)
+                or pa.types.is_int64(etype)):
+            raise ServingError(
+                f"bucketed point lookup supports string/int64 entity keys; "
+                f"{entity_col!r} is {etype} (xxhash64 byte layout differs)"
+            )
 
     def bucket_filter(self, entity_ids) -> pads.Expression:
         buckets = sorted({entity_bucket(e, self.n_buckets) for e in entity_ids})

@@ -447,6 +447,16 @@ def test_cli_auto_asof_width_cached_in_manifest(spark, transcripts, tmp_path, mo
     assert main(common + ["--resume"]) == 0
     assert len(calls) == 1  # cached: no second stats job
 
+    # lineage change on resume: width recomputed ONCE, and cached into
+    # the post-run manifest so the NEXT resume of the new lineage skips
+    # the stats job again (review r4)
+    changed = [a if a != "10 minutes" else a for a in common] + ["--trailing", "5 minutes"]
+    assert main(changed + ["--resume"]) == 0
+    assert len(calls) == 2
+    assert _read_manifest(out)["stats"]["asof_width_us"] == width
+    assert main(changed + ["--resume"]) == 0
+    assert len(calls) == 2  # cached across the lineage change
+
 
 def test_asof_supplied_width_runs_no_stats_job(spark, transcripts, monkeypatch):
     """Passing a concrete width to asof_join must never trigger the

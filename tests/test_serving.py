@@ -262,3 +262,98 @@ def test_flight_serves_bucketed_checkpoint_output(spark, transcripts, tmp_path):
         assert list(got["cum_turns"]) == list(exp["cum_turns"])
     finally:
         server.shutdown()
+
+
+def test_parse_ts_converts_offsets_to_utc():
+    """RFC3339 offsets are CONVERTED to UTC, not stripped (review r4):
+    stripping would shift the queried instant by the offset."""
+    from featherstore_spark.sources.flight import _parse_ts
+
+    assert _parse_ts("2026-01-01T12:00:00+05:00") == datetime.datetime(2026, 1, 1, 7, 0, 0)
+    assert _parse_ts("2026-01-01T12:00:00Z") == datetime.datetime(2026, 1, 1, 12, 0, 0)
+    assert _parse_ts("2026-01-01T12:00:00") == datetime.datetime(2026, 1, 1, 12, 0, 0)
+    assert _parse_ts(None) is None
+
+
+def test_empty_feature_set_reads_return_zero_rows(served):
+    """A created-but-never-ingested set must serve empty results, not
+    FileNotFoundError (review r4)."""
+    c = served["client"]
+    c.create_feature_set("empty1", {"schema": SCHEMA.jsonValue(),
+                                    "entity_col": "conv_id", "ts_col": "ts"})
+    try:
+        assert c.get_features("empty1", ["whoever"]).num_rows == 0
+        assert c.get_feature_history(
+            "empty1", "x", datetime.datetime(2020, 1, 1), datetime.datetime(2030, 1, 1)
+        ).num_rows == 0
+    finally:
+        c.delete_feature_set("empty1")
+
+
+def test_history_with_null_bounds_routes_to_history(served):
+    """entity_id alone selects the history path (review r4): null bounds
+    mean UNBOUNDED history of that entity — never latest-of-all-entities."""
+    import pyarrow.flight as fl
+
+    t = {"feature_set": "convfeat", "entity_id": "conv_0"}
+    got = served["client"].conn.do_get(
+        fl.Ticket(json.dumps(t).encode())
+    ).read_all().to_pandas()
+    assert set(got["conv_id"]) == {"conv_0"}
+    assert len(got) == 7  # ALL of conv_0's rows, newest first
+    assert list(got["turn_idx"])[:3] == [9, 8, 4]
+
+
+def test_put_rejects_uncastable_types_and_normalizes_castable(served):
+    """A mistyped batch must not poison the set (review r4): uncastable
+    columns are rejected; castable ones (ISO-string ts) are normalized to
+    the declared type so later reads still unify."""
+    import pyarrow.flight as fl
+
+    from featherstore_spark.sources.serving import ServingStore
+
+    store = ServingStore(served["root"])
+    bad = pa.table({
+        "conv_id": ["x"], "ts": ["2026-01-01T00:00:00"],
+        "turn_idx": pa.array([1], pa.int32()), "f_val": ["not-a-number"],
+    })
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid, ValueError), match="castable"):
+        store.append_batch("convfeat", bad)
+    ok = pa.table({
+        "conv_id": ["zz_cast"], "ts": ["2026-01-01T00:00:00"],
+        "turn_idx": pa.array([1], pa.int32()), "f_val": [1.5],
+    })
+    assert store.append_batch("convfeat", ok) == 1
+    back = store.get_features("convfeat", ["zz_cast"]).to_pandas()
+    assert len(back) == 1 and back["ts"].iloc[0] == datetime.datetime(2026, 1, 1)
+
+
+def test_bucketed_rejects_narrow_int_entities(spark, tmp_path):
+    """entity_bucket's xxhash64 twin covers string/int64 layouts only; a
+    4-byte int entity must be refused, not silently mis-pruned (review
+    r4)."""
+    from featherstore_spark.sources.serving import BucketedTable, ServingError
+
+    df = spark.range(10).select(
+        F.col("id").cast("int").alias("ent"),
+        F.current_timestamp().alias("ts"),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("p_bucket"),
+    )
+    out = str(tmp_path / "intkeys")
+    df.write.partitionBy("p_bucket").parquet(out)
+    with pytest.raises(ServingError, match="string/int64"):
+        BucketedTable(out, "ent", "ts", n_buckets=4)
+
+
+def test_clear_stale_output_allows_crashed_first_run(tmp_path):
+    """A killed FIRST materialization leaves only Spark write machinery
+    (_temporary/, maybe _SUCCESS) — no data, so the ownership guard must
+    clear it rather than demand manual rm (review r4)."""
+    from featherstore_spark.plans.checkpoint import clear_stale_output
+
+    crashed = tmp_path / "crashed"
+    (crashed / "_temporary" / "0").mkdir(parents=True)
+    (crashed / "_SUCCESS").write_text("")
+    (crashed / "._SUCCESS.crc").write_text("")
+    clear_stale_output(str(crashed))
+    assert not crashed.exists()
