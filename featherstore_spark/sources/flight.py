@@ -86,6 +86,11 @@ class FeatureFlightServer(fl.FlightServerBase):
         name = t.get("feature_set")
         if not name:
             raise fl.FlightServerError("ticket must name a feature_set or bucketed_table")
+        if t.get("points"):
+            # point-in-time vectors at explicit (entity, ts) requests —
+            # the as-of semantic at the serving edge
+            pts = [(p[0], _parse_ts(p[1])) for p in t["points"]]
+            return fl.RecordBatchStream(self.store.get_features_at(name, pts))
         if t.get("entity_id") is not None:
             # singular entity_id selects the HISTORY path regardless of
             # bounds (None = unbounded); routing on the bounds would
@@ -151,6 +156,17 @@ class FeatureFlightClient:
             t["entity_ids"] = list(entity_ids)
         if as_of is not None:
             t["as_of"] = as_of.isoformat() if hasattr(as_of, "isoformat") else as_of
+        return self.conn.do_get(fl.Ticket(json.dumps(t).encode())).read_all()
+
+    def get_features_at(self, feature_set: str, points):
+        """Point-in-time vectors at (entity, ts) pairs (as-of serving)."""
+        t = {
+            "feature_set": feature_set,
+            "points": [
+                [e, ts.isoformat() if hasattr(ts, "isoformat") else ts]
+                for e, ts in points
+            ],
+        }
         return self.conn.do_get(fl.Ticket(json.dumps(t).encode())).read_all()
 
     def get_bucketed_rows(self, table: str, entity_ids):

@@ -230,6 +230,54 @@ class ServingStore:
             tiebreaks=self._tiebreaks(meta), entity_ids=entity_ids, as_of=as_of,
         )
 
+    def get_features_at(self, name: str, points) -> pa.Table:
+        """Point-in-time feature vector per (entity, ts) request — the
+        flagship as-of semantic (operators/asof.asof_join: latest feature
+        row with ``f_ts <= ts``, inclusive C3 bound, max-tiebreak C2
+        determinism) served driver-side for point reads.
+
+        ``points``: iterable of (entity_id, datetime).  Output: one row
+        per request in input order (``req_idx``) with the requested
+        entity/ts plus the matched row's ts and feature columns, NULLs
+        when nothing precedes the point — the same shape
+        ``asof_join`` emits, differentially tested against it.
+
+        Scale shape: one pruned dataset read for the requested entities,
+        then ``pd.merge_asof`` over the (small) point set — no Spark job,
+        no full-table work."""
+        import pandas as pd
+
+        self.metrics.observe("get_features_at")
+        meta = self.get_meta(name)
+        e, ts_col = meta["entity_col"], meta["ts_col"]
+        tiebreaks = self._tiebreaks(meta)
+        points = list(points)
+        ents = sorted({p[0] for p in points})
+        feats = (
+            self.dataset(name)
+            .to_table(filter=pads.field(e).isin(ents))
+            .to_pandas()
+            .sort_values([ts_col, *tiebreaks], kind="stable")
+            .reset_index(drop=True)
+        )
+        # pin ns resolution on BOTH merge keys: Arrow delivers us, pandas
+        # builds ns — merge_asof requires identical dtypes
+        feats[ts_col] = feats[ts_col].astype("datetime64[ns]")
+        spine = pd.DataFrame(
+            {"req_idx": range(len(points)), e: [p[0] for p in points],
+             ts_col: pd.to_datetime([p[1] for p in points]).astype("datetime64[ns]")}
+        ).sort_values(ts_col, kind="stable")
+        feat_cols = [c for c in feats.columns if c not in (e,)]
+        renamed = feats.rename(columns={c: f"f_{c}" for c in feat_cols})
+        # backward merge_asof takes the LAST feats row with ts <= point
+        # ts; feats sorted (ts asc, tiebreaks asc) makes that the max
+        # (ts, tiebreaks) — identical tie policy to asof_join
+        out = pd.merge_asof(
+            spine, renamed, left_on=ts_col, right_on=f"f_{ts_col}",
+            by=e, direction="backward",
+        ).sort_values("req_idx").reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def get_feature_history(self, name: str, entity_id, start, end) -> pa.Table:
         """Inclusive-bounds history, newest first (reference
         GetFeatureHistory; engine P3/O1 semantics)."""

@@ -9,6 +9,7 @@ import json
 import struct
 import urllib.request
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
@@ -357,3 +358,38 @@ def test_clear_stale_output_allows_crashed_first_run(tmp_path):
     (crashed / "._SUCCESS.crc").write_text("")
     clear_stale_output(str(crashed))
     assert not crashed.exists()
+
+
+def test_flight_point_in_time_matches_spark_asof(served, spark):
+    """get_features_at == the Spark asof_join on the same files: latest
+    preceding row per (entity, ts) request, inclusive bound, max-tiebreak
+    on ties, NULLs when nothing precedes."""
+    from featherstore_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    points = [
+        ("conv_0", base + datetime.timedelta(minutes=40)),  # tie ts: turn 9 wins
+        ("conv_0", base + datetime.timedelta(minutes=20)),  # == turn 2 exactly
+        ("conv_3", base + datetime.timedelta(minutes=999)),
+        ("conv_3", base - datetime.timedelta(minutes=1)),   # before everything
+        ("conv_9", base),                                   # unknown entity
+    ]
+    got = served["client"].get_features_at("convfeat", points).to_pandas()
+    assert list(got["req_idx"]) == list(range(5))  # input order preserved
+
+    feats = spark.read.parquet(f"{served['root']}/convfeat/data")
+    spine = spark.createDataFrame(points, "conv_id string, ts timestamp_ntz")
+    exp = (
+        asof_join(spine, feats, on="conv_id", ts="ts", tiebreaks=("turn_idx",))
+        .toPandas()
+        .set_index(["conv_id", "ts"])
+    )
+    for _, r in got.iterrows():
+        e = exp.loc[(r["conv_id"], r["ts"])]
+        for col in ("f_ts", "f_f_val"):
+            a, b = r[col], e[col]
+            assert (pd.isna(a) and pd.isna(b)) or a == b, (r["req_idx"], col, a, b)
+    # spot values: the tie resolves to turn 9's f_val, pre-history is NULL
+    assert got.loc[0, "f_f_val"] == 999.0 and got.loc[0, "f_turn_idx"] == 9
+    assert got.loc[1, "f_turn_idx"] == 2
+    assert pd.isna(got.loc[3, "f_ts"]) and pd.isna(got.loc[4, "f_ts"])
