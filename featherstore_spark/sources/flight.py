@@ -27,27 +27,11 @@ operators in tests/test_serving.py.
 from __future__ import annotations
 
 import json
-from datetime import datetime, timezone
 
 import pyarrow.flight as fl
 
 from featherstore_spark.sources.serving import ServingError, ServingStore
-
-
-def _parse_ts(v):
-    """RFC3339/ISO-8601 → UTC-naive datetime (stored timestamps are
-    UTC-naive; session tz pinned UTC).  Offset-carrying inputs are
-    CONVERTED to UTC before the tzinfo drop — stripping the offset
-    directly would shift the queried instant by the offset."""
-    if v is None:
-        return None
-    if isinstance(v, datetime):
-        dt = v
-    else:
-        dt = datetime.fromisoformat(str(v).replace("Z", "+00:00"))
-    if dt.tzinfo is not None:
-        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
-    return dt
+from featherstore_spark.sources.serving import parse_ts as _parse_ts
 
 
 class FeatureFlightServer(fl.FlightServerBase):
@@ -86,7 +70,9 @@ class FeatureFlightServer(fl.FlightServerBase):
         name = t.get("feature_set")
         if not name:
             raise fl.FlightServerError("ticket must name a feature_set or bucketed_table")
-        if t.get("points"):
+        if "points" in t:
+            # presence, not truthiness: an empty points list must return
+            # an empty point table, never fall through to latest-of-all
             # point-in-time vectors at explicit (entity, ts) requests —
             # the as-of semantic at the serving edge
             pts = [(p[0], _parse_ts(p[1])) for p in t["points"]]

@@ -28,8 +28,8 @@ from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from featherstore_spark.sources.flight import _parse_ts
 from featherstore_spark.sources.serving import ServingError, ServingStore
+from featherstore_spark.sources.serving import parse_ts as _parse_ts
 
 
 def _rows(table) -> list[dict]:

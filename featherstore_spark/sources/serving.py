@@ -43,21 +43,59 @@ class ServingError(ValueError):
     pass
 
 
+_SIMPLE_ARROW_TYPES = {
+    "string": pa.string(), "long": pa.int64(), "integer": pa.int32(),
+    "short": pa.int16(), "byte": pa.int8(), "double": pa.float64(),
+    "float": pa.float32(), "boolean": pa.bool_(), "binary": pa.binary(),
+    "date": pa.date32(), "timestamp": pa.timestamp("us"),
+    "timestamp_ntz": pa.timestamp("us"),
+}
+
+
+def _declared_simple_types(schema_json: dict) -> dict:
+    """name -> concrete arrow type for every SIMPLE-typed declared field.
+    Nested/unknown types are omitted (no safe cast target), so ingest
+    validation casts exactly the fields whose declaration is
+    unambiguous."""
+    out = {}
+    for f in schema_json["fields"]:
+        t = f["type"]
+        if isinstance(t, str) and t in _SIMPLE_ARROW_TYPES:
+            out[f["name"]] = _SIMPLE_ARROW_TYPES[t]
+    return out
+
+
 def _spark_schema_to_arrow(schema_json: dict) -> pa.Schema:
     """Arrow schema for a stored StructType JSON — enough fidelity for
-    serving-side validation (names + basic types)."""
-    m = {
-        "string": pa.string(), "long": pa.int64(), "integer": pa.int32(),
-        "short": pa.int16(), "byte": pa.int8(), "double": pa.float64(),
-        "float": pa.float32(), "boolean": pa.bool_(), "binary": pa.binary(),
-        "date": pa.date32(), "timestamp": pa.timestamp("us"),
-        "timestamp_ntz": pa.timestamp("us"),
-    }
+    Flight schema advertising (names + basic types; nested types degrade
+    to string here, which is why ingest validation uses
+    :func:`_declared_simple_types` instead)."""
     fields = []
     for f in schema_json["fields"]:
         t = f["type"]
-        fields.append(pa.field(f["name"], m.get(t, pa.string()) if isinstance(t, str) else pa.string()))
+        fields.append(pa.field(
+            f["name"],
+            _SIMPLE_ARROW_TYPES.get(t, pa.string()) if isinstance(t, str) else pa.string(),
+        ))
     return pa.schema(fields)
+
+
+def parse_ts(v):
+    """RFC3339/ISO-8601 (or datetime) → UTC-naive datetime — stored
+    timestamps are UTC-naive (session tz pinned UTC).  Offset-carrying
+    inputs are CONVERTED to UTC before the tzinfo drop; stripping the
+    offset directly would shift the queried instant.  Shared by both
+    transports (flight.py, http_api.py)."""
+    from datetime import datetime, timezone
+
+    if v is None:
+        return None
+    dt = v if isinstance(v, datetime) else datetime.fromisoformat(
+        str(v).replace("Z", "+00:00")
+    )
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def _manifest_n_buckets(path: str):
@@ -179,15 +217,17 @@ class ServingStore:
                 f"batch schema {got} does not match feature set {declared}"
             )
         table = table.select(declared)
-        # normalize column TYPES to the declared schema where it maps to a
-        # concrete arrow type: one mistyped batch (e.g. ts as string)
-        # would otherwise write a file that poisons schema unification for
-        # every subsequent read of the set
-        target = {f.name: f.type for f in _spark_schema_to_arrow(meta["schema"])}
+        # normalize column TYPES to the declared schema for every
+        # simple-typed declared field (string included): one mistyped
+        # batch (ts as string, conv_id as int64) would otherwise write a
+        # file that poisons schema unification for every subsequent read
+        # of the set.  Nested/unknown declared types have no unambiguous
+        # cast target and pass through as-is.
+        target = _declared_simple_types(meta["schema"])
         cols = []
         for field in table.schema:
             want = target.get(field.name)
-            if want is not None and field.type != want and not pa.types.is_string(want):
+            if want is not None and field.type != want:
                 try:
                     cols.append(table.column(field.name).cast(want))
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
@@ -251,7 +291,26 @@ class ServingStore:
         meta = self.get_meta(name)
         e, ts_col = meta["entity_col"], meta["ts_col"]
         tiebreaks = self._tiebreaks(meta)
-        points = list(points)
+        # normalize/validate up front: a None ts would surface as an
+        # opaque merge_asof error, a tz-aware one as an astype TypeError
+        points = [(p[0], parse_ts(p[1])) for p in points]
+        bad = [p for p in points if p[1] is None]
+        if bad:
+            raise ServingError(f"points with null/unparseable ts: {bad[:3]}")
+        if not points:
+            # shape-stable empty result (merge_asof on an all-empty frame
+            # degrades column dtypes to null, breaking Arrow conversion)
+            fschema = self.dataset(name).schema
+            fields = [
+                pa.field("req_idx", pa.int64()),
+                pa.field(e, fschema.field(e).type if e in fschema.names else pa.string()),
+                pa.field(ts_col, pa.timestamp("ns")),
+            ] + [
+                pa.field(f"f_{f.name}",
+                         pa.timestamp("ns") if f.name == ts_col else f.type)
+                for f in fschema if f.name != e
+            ]
+            return pa.schema(fields).empty_table()
         ents = sorted({p[0] for p in points})
         feats = (
             self.dataset(name)
@@ -336,17 +395,27 @@ class ServingStore:
         os.makedirs(self._path(name), exist_ok=True)
         with open(os.path.join(self._path(name), "bucketed.json"), "w") as fh:
             json.dump(reg, fh, indent=2)
+        getattr(self, "_bucketed_cache", {}).pop(name, None)  # re-register = rediscover
         return reg
 
     def bucketed(self, name: str) -> "BucketedTable":
-        try:
-            with open(os.path.join(self._path(name), "bucketed.json")) as fh:
-                reg = json.load(fh)
-        except FileNotFoundError:
-            raise ServingError(f"no bucketed table registered as {name!r}") from None
-        return BucketedTable(
-            reg["path"], reg["entity_col"], reg["ts_col"], reg["n_buckets"]
-        )
+        # cached per name: BucketedTable.__init__ runs full dataset file
+        # discovery — per-lookup rediscovery would make the "constant
+        # work point read" O(total files) in metadata again.  Invalidated
+        # by register_bucketed_table.
+        cached = getattr(self, "_bucketed_cache", None)
+        if cached is None:
+            cached = self._bucketed_cache = {}
+        if name not in cached:
+            try:
+                with open(os.path.join(self._path(name), "bucketed.json")) as fh:
+                    reg = json.load(fh)
+            except FileNotFoundError:
+                raise ServingError(f"no bucketed table registered as {name!r}") from None
+            cached[name] = BucketedTable(
+                reg["path"], reg["entity_col"], reg["ts_col"], reg["n_buckets"]
+            )
+        return cached[name]
 
     def get_bucketed_rows(self, name: str, entity_ids) -> pa.Table:
         """All rows for the requested entities from a registered bucketed

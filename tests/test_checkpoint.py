@@ -450,7 +450,7 @@ def test_cli_auto_asof_width_cached_in_manifest(spark, transcripts, tmp_path, mo
     # lineage change on resume: width recomputed ONCE, and cached into
     # the post-run manifest so the NEXT resume of the new lineage skips
     # the stats job again (review r4)
-    changed = [a if a != "10 minutes" else a for a in common] + ["--trailing", "5 minutes"]
+    changed = list(common) + ["--trailing", "5 minutes"]  # new lineage params
     assert main(changed + ["--resume"]) == 0
     assert len(calls) == 2
     assert _read_manifest(out)["stats"]["asof_width_us"] == width

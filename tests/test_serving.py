@@ -393,3 +393,46 @@ def test_flight_point_in_time_matches_spark_asof(served, spark):
     assert got.loc[0, "f_f_val"] == 999.0 and got.loc[0, "f_turn_idx"] == 9
     assert got.loc[1, "f_turn_idx"] == 2
     assert pd.isna(got.loc[3, "f_ts"]) and pd.isna(got.loc[4, "f_ts"])
+
+
+def test_empty_points_list_returns_empty_point_table(served):
+    """An empty points list must yield an empty point-in-time table —
+    never fall through to latest-of-all-entities (review r4 pass 2)."""
+    got = served["client"].get_features_at("convfeat", [])
+    assert got.num_rows == 0
+    assert "req_idx" in got.column_names  # the point-table shape
+
+
+def test_points_with_null_ts_rejected(served):
+    import pyarrow.flight as fl
+
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid, ValueError), match="null"):
+        served["client"].get_features_at("convfeat", [("conv_0", None)])
+
+
+def test_points_accept_tz_aware_and_offset_ts(served):
+    """tz-aware datetimes and offset strings are converted to UTC, not
+    crashed on or shifted (review r4 pass 2)."""
+    utc_cut = datetime.datetime(2025, 3, 1, 12, 20)
+    aware = utc_cut.replace(tzinfo=datetime.timezone(datetime.timedelta(hours=5))) \
+        + datetime.timedelta(hours=5)  # 17:20+05:00 == 12:20 UTC
+    got = served["client"].get_features_at("convfeat", [("conv_0", aware)]).to_pylist()
+    assert got[0]["f_turn_idx"] == 2  # same as the naive 12:20 cutoff
+
+
+def test_put_normalizes_string_declared_columns(served):
+    """An int-typed batch for a string-declared column is cast (not
+    skipped): an unvalidated file would poison dataset schema unification
+    order-dependently (review r4 pass 2)."""
+    from featherstore_spark.sources.serving import ServingStore
+
+    store = ServingStore(served["root"])
+    batch = pa.table({
+        "conv_id": pa.array([424242], pa.int64()),  # declared string
+        "ts": pa.array([datetime.datetime(2026, 2, 1)], pa.timestamp("us")),
+        "turn_idx": pa.array([0], pa.int32()),
+        "f_val": [7.0],
+    })
+    assert store.append_batch("convfeat", batch) == 1
+    back = store.get_features("convfeat", ["424242"]).to_pandas()
+    assert len(back) == 1 and back["conv_id"].iloc[0] == "424242"
