@@ -474,6 +474,26 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS: minhash pairs (threshold 0.9) collapsed to
+    connected components, one (doc_id, group_id=min id in component) row
+    per paired doc (operators/dedup.connected_components — iterative
+    min-label propagation, persist-per-round).  Transitive closure is
+    the point: chained near-dups (A~B~C without A~C) must share one
+    group.  Oracle: DuckDB WITH RECURSIVE transitive closure over the
+    same pairs SQL."""
+    from featherstore_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.9)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+
+
 def q_char_ngram_jaccard(spark, sf_dir):
     """Character-3-gram Jaccard near-dup pairs (dedup.char_ngram_jaccard
     _pairs): token-free similarity — robust to whitespace damage and
@@ -634,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
         "char_ngram_jaccard": q_char_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "jaccard_pairs": q_jaccard_pairs,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "media_byte_stats": q_media_byte_stats,
@@ -850,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_ORACLE,
         "winnow_near_dups": _WINNOW_PAIRS_ORACLE,
         "char_ngram_jaccard": _CHAR_NGRAM_JACCARD_ORACLE,
+        "dedup_groups": _build_dedup_groups_oracle(threshold=0.9),
         "jaccard_pairs": _build_minhash_pairs_oracle(threshold=0.8),
         "corpus_clean_pipeline": _CLEAN_PIPELINE_ORACLE,
         "media_byte_stats": """
@@ -1183,6 +1205,29 @@ def _build_minhash_pairs_oracle(
           JOIN tokset tb ON tb.doc_id = id_b
         )
         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+    """
+
+
+def _build_dedup_groups_oracle(threshold: float = 0.9) -> str:
+    """SQL twin of connected_components over the minhash pairs: a
+    recursive transitive closure — every node labels itself with every
+    reachable node, MIN per node = the component minimum (identical to
+    the engine's converged min-label propagation).  UNION (set) semantics
+    terminate the recursion."""
+    pairs_sql = _build_minhash_pairs_oracle(threshold=threshold)
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT id_a, id_b FROM ({pairs_sql})
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p
+        ), reach(id, lbl) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id
+        )
+        SELECT id AS doc_id, MIN(lbl)::BIGINT AS group_id FROM reach GROUP BY id
     """
 
 

@@ -498,6 +498,82 @@ def char_ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------- dedup groups --
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS: one ``(id, group_id)``
+    row per id appearing in any pair, ``group_id`` = the component's
+    minimum id.  This is the step that turns pairwise similarity into
+    dedup GROUPS — transitive closure matters because near-duplication
+    chains (A~B, B~C but A!~C) must still collapse to one kept document.
+
+    Iterative min-label propagation as pure DataFrame ops: per round,
+    every node takes the min of its own and its neighbors' labels (one
+    equi-join + one map-side-combined min aggregate); converges in
+    diameter-of-component rounds (near-dup clusters are shallow — chains
+    through a shared template — so typically 2-5).  Each round persists
+    its result and unpersists the previous one: without that, iteration
+    k's plan would embed all k-1 prior joins (lineage blow-up, the
+    classic iterative-Spark failure).  Driver work is one ``count()``
+    per round (convergence check), never row data."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("group_id", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iterations):
+            msgs = edges.join(labels, edges["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), "group_id"
+            )
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("group_id").alias("group_id"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.group_id") != F.col("o.group_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(component diameter exceeds the cap — raise max_iterations)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def drop_near_duplicate_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE representative (the minimum id) per connected near-dup
+    component — the terminal step of the dedup pipeline
+    (exact → candidate pairs → groups → filtered corpus)."""
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------- embedding --
 
 def embedding_near_duplicates(

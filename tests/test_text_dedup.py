@@ -395,3 +395,53 @@ def test_char_ngram_jaccard_matches_pure_python(spark):
     assert exp_12 > 0.6  # survives the damage...
     assert (1, 3) not in got and (2, 3) not in got  # cross-lang blocked
     assert all(4 not in p and 5 not in p for p in got)  # empty docs pair with nothing
+
+
+def test_connected_components_transitive_chains(spark):
+    """A~B, B~C (without A~C) must collapse into ONE group labeled by the
+    minimum id; disjoint pairs stay separate; convergence needs more than
+    one round on a chain (min label walks the diameter)."""
+    from featherstore_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(3, 5), (5, 9), (9, 11), (20, 21), (40, 41), (41, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["group_id"] for r in connected_components(pairs).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 20, 41: 20}
+
+
+def test_connected_components_iteration_cap(spark):
+    from featherstore_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=1)
+
+
+def test_drop_near_duplicate_groups_keeps_min_representative(spark, documents):
+    """The terminal dedup step keeps exactly one doc (the min id) per
+    component; docs in no pair survive untouched."""
+    from featherstore_spark.operators.dedup import (
+        drop_near_duplicate_groups,
+        minhash_near_duplicates,
+    )
+
+    copies = (
+        documents.where(F.col("doc_id") < 6)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    corpus = documents.unionByName(copies)
+    pairs = minhash_near_duplicates(corpus, threshold=0.9)
+    kept = drop_near_duplicate_groups(corpus, pairs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every planted copy is dropped; its original (smaller id) is kept
+    assert all(i + 100000 not in kept_ids for i in range(6))
+    assert all(i in kept_ids for i in range(6))
+    # per component exactly the min id remains
+    comps = {}
+    from featherstore_spark.operators.dedup import connected_components
+    for r in connected_components(pairs).collect():
+        comps.setdefault(r["group_id"], []).append(r["id"])
+    for gid, members in comps.items():
+        assert set(members) & kept_ids == {gid}
