@@ -445,3 +445,44 @@ def test_drop_near_duplicate_groups_keeps_min_representative(spark, documents):
         comps.setdefault(r["group_id"], []).append(r["id"])
     for gid, members in comps.items():
         assert set(members) & kept_ids == {gid}
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """Star-contraction convergence (VERDICT r4 next-round #1): a
+    4096-node chain — the adversarial max-diameter component — must
+    converge in O(log diameter) rounds, not O(diameter) (plain min-label
+    propagation would need 4095), and still label every node with the
+    component minimum."""
+    import math
+
+    from featherstore_spark.operators.dedup import connected_components
+
+    n = 4096
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats = {}
+    labels = connected_components(chain, max_iterations=20, stats=stats)
+    assert stats["rounds"] <= int(math.log2(n)) + 4
+    agg = labels.groupBy("group_id").count().collect()
+    assert len(agg) == 1
+    assert agg[0]["group_id"] == 0 and agg[0]["count"] == n
+
+
+def test_connected_components_giant_star(spark):
+    """A giant star component (one hub paired with 5k spokes — the
+    boilerplate-template shape) converges in a constant number of
+    contraction rounds; the hub is NOT the minimum, so labels must still
+    collapse to the smallest spoke."""
+    from featherstore_spark.operators.dedup import connected_components
+
+    hub, spokes = 999_999, 5000
+    pairs = spark.createDataFrame(
+        [(hub, i) for i in range(spokes)], "id_a long, id_b long"
+    )
+    stats = {}
+    labels = connected_components(pairs, stats=stats)
+    assert stats["rounds"] <= 4
+    agg = labels.groupBy("group_id").count().collect()
+    assert len(agg) == 1
+    assert agg[0]["group_id"] == 0 and agg[0]["count"] == spokes + 1
