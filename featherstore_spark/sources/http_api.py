@@ -13,6 +13,9 @@ Routes:
 - ``GET /history/<name>?entity_id=a&start=ISO&end=ISO``
                                                  → inclusive range, newest first
 - ``POST /feature-sets/<name>``                  → create (JSON meta body)
+- ``POST /features-at/<name>``  body ``{"points": [["conv_1", "ISO-ts"], …]}``
+                                                 → point-in-time as-of vector per
+                                                   (entity, ts), Flight `points` parity
 
 JSON is a LOSSY transport for feature vectors (timestamps stringified,
 no binary columns) — bulk consumers should use the Flight endpoint; this
@@ -80,6 +83,12 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return self._send(200, _rows(t))
             if len(parts) == 2 and parts[0] == "history":
+                # missing required param is the CLIENT's error: 400 with
+                # a descriptive message, not a KeyError-turned-500
+                if "entity_id" not in q:
+                    return self._send(
+                        400, {"error": "missing required query param 'entity_id'"}
+                    )
                 t = self.store.get_feature_history(
                     parts[1],
                     q["entity_id"][0],
@@ -100,6 +109,22 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self.rfile.read(n).decode() or "{}")
             if len(parts) == 2 and parts[0] == "feature-sets":
                 return self._send(201, self.store.create_feature_set(parts[1], body))
+            if len(parts) == 2 and parts[0] == "features-at":
+                # point-in-time as-of reads over HTTP — the same semantic
+                # the Flight `points` ticket serves (bucket-pruned when
+                # the set is a registered bucketed table)
+                pts = body.get("points")
+                if not isinstance(pts, list) or any(
+                    not isinstance(p, (list, tuple)) or len(p) != 2 for p in pts
+                ):
+                    return self._send(
+                        400,
+                        {"error": "body must be {\"points\": [[entity_id, ts], ...]}"},
+                    )
+                t = self.store.get_features_at(
+                    parts[1], [(p[0], _parse_ts(p[1])) for p in pts]
+                )
+                return self._send(200, _rows(t))
             return self._send(404, {"error": "no route"})
         except ServingError as e:
             return self._send(409, {"error": str(e)})

@@ -99,30 +99,44 @@ def parse_ts(v):
 
 
 def _manifest_n_buckets(path: str):
-    """The write-time bucket modulus from a checkpoint manifest's lineage
-    (searched recursively for an ``n_buckets`` key), or None."""
+    """The write-time bucket modulus from a checkpoint manifest's lineage.
+
+    Read from the two DOCUMENTED locations only — ``params.n_buckets``
+    (what cli.py writes) and top-level ``n_buckets`` — erroring if both
+    are present and disagree.  A recursive first-match walk (r4 advice)
+    would silently adopt an unrelated same-named key in walk order,
+    producing exactly the wrong-modulus/empty-result failure mode
+    register_bucketed_table documents as the worst case."""
     try:
         with open(os.path.join(path, "_manifest.json")) as fh:
             lineage = json.load(fh).get("lineage", {})
     except (FileNotFoundError, ValueError):
         return None
-
-    def walk(node):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                if k == "n_buckets" and isinstance(v, int):
-                    return v
-                found = walk(v)
-                if found is not None:
-                    return found
+    if not isinstance(lineage, dict):
         return None
+    found = {}
+    params = lineage.get("params")
+    if isinstance(params, dict) and isinstance(params.get("n_buckets"), int):
+        found["params.n_buckets"] = params["n_buckets"]
+    if isinstance(lineage.get("n_buckets"), int):
+        found["n_buckets"] = lineage["n_buckets"]
+    if len(set(found.values())) > 1:
+        raise ServingError(
+            f"ambiguous n_buckets in checkpoint lineage at {path!r} "
+            f"({found}) — pass n_buckets explicitly"
+        )
+    return next(iter(found.values()), None)
 
-    return walk(lineage)
+
+#: Reference latency bucket layout: prometheus.ExponentialBuckets(0.001, 2, 10)
+#: (pkg/metrics/metrics.go:84-116) — 1 ms … 512 ms, +Inf implicit.
+LATENCY_BUCKETS = tuple(0.001 * 2**i for i in range(10))
 
 
 class ServingMetrics:
-    """Request/row counters for the serving tier (reference:
-    pkg/metrics/metrics.go — Prometheus counters around every Flight and
+    """Request/row counters + per-op latency histograms for the serving
+    tier (reference: pkg/metrics/metrics.go — Prometheus counters and
+    ExponentialBuckets(0.001, 2, 10) histograms around every Flight and
     HTTP handler).  Thread-safe; rendered in the Prometheus text
     exposition format at ``GET /metrics`` (http_api.py)."""
 
@@ -133,11 +147,41 @@ class ServingMetrics:
         self._lock = threading.Lock()
         self._requests = collections.Counter()
         self._rows = collections.Counter()
+        # per-op non-cumulative bucket counts (len(LATENCY_BUCKETS)+1 for
+        # +Inf); cumulated at render time as the exposition format requires
+        self._lat = collections.defaultdict(lambda: [0] * (len(LATENCY_BUCKETS) + 1))
+        self._lat_sum = collections.defaultdict(float)
 
-    def observe(self, op: str, rows: int = 0) -> None:
+    def observe(self, op: str, rows: int = 0, seconds: float | None = None) -> None:
+        import bisect
+
         with self._lock:
             self._requests[op] += 1
             self._rows[op] += rows
+            if seconds is not None:
+                self._lat[op][bisect.bisect_left(LATENCY_BUCKETS, seconds)] += 1
+                self._lat_sum[op] += seconds
+
+    def timed(self, op: str):
+        """Context manager: times the body and observes one request.
+        ``ctx.rows = n`` inside the body records the row count."""
+        import contextlib
+
+        metrics = self
+
+        @contextlib.contextmanager
+        def _cm():
+            class _Ctx:
+                rows = 0
+
+            ctx = _Ctx()
+            t0 = time.perf_counter()
+            try:
+                yield ctx
+            finally:
+                metrics.observe(op, rows=ctx.rows, seconds=time.perf_counter() - t0)
+
+        return _cm()
 
     def render(self) -> str:
         lines = [
@@ -153,6 +197,27 @@ class ServingMetrics:
             ]
             for op, n in sorted(self._rows.items()):
                 lines.append(f'featherstore_rows_total{{op="{op}"}} {n}')
+            lines += [
+                "# HELP featherstore_request_duration_seconds serving request latency by operation",
+                "# TYPE featherstore_request_duration_seconds histogram",
+            ]
+            for op, counts in sorted(self._lat.items()):
+                cum = 0
+                for le, c in zip(LATENCY_BUCKETS, counts):
+                    cum += c
+                    lines.append(
+                        f'featherstore_request_duration_seconds_bucket{{op="{op}",le="{le:g}"}} {cum}'
+                    )
+                cum += counts[-1]
+                lines.append(
+                    f'featherstore_request_duration_seconds_bucket{{op="{op}",le="+Inf"}} {cum}'
+                )
+                lines.append(
+                    f'featherstore_request_duration_seconds_sum{{op="{op}"}} {self._lat_sum[op]:.6f}'
+                )
+                lines.append(
+                    f'featherstore_request_duration_seconds_count{{op="{op}"}} {cum}'
+                )
         return "\n".join(lines) + "\n"
 
 
@@ -238,13 +303,14 @@ class ServingStore:
             else:
                 cols.append(table.column(field.name))
         table = pa.table(dict(zip(table.column_names, cols)))
-        self.metrics.observe("ingest", table.num_rows)
-        data_dir = os.path.join(self._path(name), "data")
-        os.makedirs(data_dir, exist_ok=True)
-        fname = f"ingest_{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(data_dir, "." + fname + ".tmp")
-        pq.write_table(table, tmp, compression="snappy")
-        os.replace(tmp, os.path.join(data_dir, fname))
+        with self.metrics.timed("ingest") as ctx:
+            ctx.rows = table.num_rows
+            data_dir = os.path.join(self._path(name), "data")
+            os.makedirs(data_dir, exist_ok=True)
+            fname = f"ingest_{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(data_dir, "." + fname + ".tmp")
+            pq.write_table(table, tmp, compression="snappy")
+            os.replace(tmp, os.path.join(data_dir, fname))
         return table.num_rows
 
     # -- reads -----------------------------------------------------------
@@ -260,15 +326,59 @@ class ServingStore:
     def arrow_schema(self, name: str) -> pa.Schema:
         return _spark_schema_to_arrow(self.get_meta(name)["schema"])
 
+    def _maybe_bucketed(self, name: str):
+        try:
+            return self.bucketed(name)
+        except ServingError:
+            return None
+
+    def _resolve(self, name: str, entity_ids):
+        """Read-path routing: ``(ds, entity_col, ts_col, tiebreaks,
+        filter, drop_cols)`` for a feature-set read.
+
+        When ``name`` has a registered bucketed table (plans/checkpoint
+        ``p_bucket=`` layout) and the request names entities, the filter
+        is ``BucketedTable.bucket_filter`` — the read opens ONLY the
+        partition directories the entities hash to (r4 verdict #3: the
+        point-in-time path previously scanned every fragment's stats).
+        Falls back to the plain catalog dataset with an entity IN-list
+        otherwise.  Bucketed-only names (registered without
+        ``metadata.json``) resolve against the registration + dataset
+        schema, so point-in-time serving works directly over the
+        flagship materialization."""
+        bt = self._maybe_bucketed(name)
+        meta = None
+        try:
+            meta = self.get_meta(name)
+        except ServingError:
+            if bt is None:
+                raise
+        if meta is not None:
+            e, ts = meta["entity_col"], meta["ts_col"]
+            tiebreaks = self._tiebreaks(meta)
+        else:
+            e, ts = bt.entity_col, bt.ts_col
+            tiebreaks = [c for c in ("turn_idx", "event_id") if c in bt.ds.schema.names]
+        if bt is not None and bt.entity_col == e and entity_ids is not None:
+            return bt.ds, e, ts, tiebreaks, bt.bucket_filter(entity_ids), ("p_bucket",)
+        if bt is not None and meta is None:
+            flt = pads.field(e).isin(list(entity_ids)) if entity_ids is not None else None
+            return bt.ds, e, ts, tiebreaks, flt, ("p_bucket",)
+        flt = pads.field(e).isin(list(entity_ids)) if entity_ids is not None else None
+        return self.dataset(name), e, ts, tiebreaks, flt, ()
+
     def get_features(self, name: str, entity_ids=None, as_of=None) -> pa.Table:
         """Latest row per entity (reference GetFeatures; engine J1
-        semantics: ts desc, tiebreaks desc, optional as-of cutoff)."""
-        meta = self.get_meta(name)
-        self.metrics.observe("get_features")
-        return latest_from_dataset(
-            self.dataset(name), meta["entity_col"], meta["ts_col"],
-            tiebreaks=self._tiebreaks(meta), entity_ids=entity_ids, as_of=as_of,
-        )
+        semantics: ts desc, tiebreaks desc, optional as-of cutoff).
+        Bucket-pruned when ``name`` is a registered bucketed table."""
+        with self.metrics.timed("get_features") as ctx:
+            ds, e, ts, tiebreaks, flt, drop = self._resolve(name, entity_ids)
+            t = latest_from_dataset(
+                ds, e, ts, tiebreaks=tiebreaks, as_of=as_of, prefilter=flt,
+            )
+            t = t.drop_columns([c for c in drop if c in t.column_names])
+            ctx.rows = t.num_rows
+            return t
 
     def get_features_at(self, name: str, points) -> pa.Table:
         """Point-in-time feature vector per (entity, ts) request — the
@@ -282,75 +392,86 @@ class ServingStore:
         when nothing precedes the point — the same shape
         ``asof_join`` emits, differentially tested against it.
 
-        Scale shape: one pruned dataset read for the requested entities,
-        then ``pd.merge_asof`` over the (small) point set — no Spark job,
+        Scale shape: one pruned dataset read for the requested entities —
+        bucket-pruned to the hashed ``p_bucket=`` directories when the
+        set is a registered bucketed table (r4 verdict #3) — then
+        ``pd.merge_asof`` over the (small) point set — no Spark job,
         no full-table work."""
         import pandas as pd
 
-        self.metrics.observe("get_features_at")
-        meta = self.get_meta(name)
-        e, ts_col = meta["entity_col"], meta["ts_col"]
-        tiebreaks = self._tiebreaks(meta)
-        # normalize/validate up front: a None ts would surface as an
-        # opaque merge_asof error, a tz-aware one as an astype TypeError
-        points = [(p[0], parse_ts(p[1])) for p in points]
-        bad = [p for p in points if p[1] is None]
-        if bad:
-            raise ServingError(f"points with null/unparseable ts: {bad[:3]}")
-        if not points:
-            # shape-stable empty result (merge_asof on an all-empty frame
-            # degrades column dtypes to null, breaking Arrow conversion)
-            fschema = self.dataset(name).schema
-            fields = [
-                pa.field("req_idx", pa.int64()),
-                pa.field(e, fschema.field(e).type if e in fschema.names else pa.string()),
-                pa.field(ts_col, pa.timestamp("ns")),
-            ] + [
-                pa.field(f"f_{f.name}",
-                         pa.timestamp("ns") if f.name == ts_col else f.type)
-                for f in fschema if f.name != e
-            ]
-            return pa.schema(fields).empty_table()
-        ents = sorted({p[0] for p in points})
-        feats = (
-            self.dataset(name)
-            .to_table(filter=pads.field(e).isin(ents))
-            .to_pandas()
-            .sort_values([ts_col, *tiebreaks], kind="stable")
-            .reset_index(drop=True)
-        )
-        # pin ns resolution on BOTH merge keys: Arrow delivers us, pandas
-        # builds ns — merge_asof requires identical dtypes
-        feats[ts_col] = feats[ts_col].astype("datetime64[ns]")
-        spine = pd.DataFrame(
-            {"req_idx": range(len(points)), e: [p[0] for p in points],
-             ts_col: pd.to_datetime([p[1] for p in points]).astype("datetime64[ns]")}
-        ).sort_values(ts_col, kind="stable")
-        feat_cols = [c for c in feats.columns if c not in (e,)]
-        renamed = feats.rename(columns={c: f"f_{c}" for c in feat_cols})
-        # backward merge_asof takes the LAST feats row with ts <= point
-        # ts; feats sorted (ts asc, tiebreaks asc) makes that the max
-        # (ts, tiebreaks) — identical tie policy to asof_join
-        out = pd.merge_asof(
-            spine, renamed, left_on=ts_col, right_on=f"f_{ts_col}",
-            by=e, direction="backward",
-        ).sort_values("req_idx").reset_index(drop=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        with self.metrics.timed("get_features_at") as ctx:
+            ds, e, ts_col, tiebreaks, _, drop = self._resolve(name, None)
+            # normalize/validate up front: a None ts would surface as an
+            # opaque merge_asof error, a tz-aware one as an astype TypeError
+            points = [(p[0], parse_ts(p[1])) for p in points]
+            bad = [p for p in points if p[1] is None]
+            if bad:
+                raise ServingError(f"points with null/unparseable ts: {bad[:3]}")
+            if not points:
+                # shape-stable empty result (merge_asof on an all-empty frame
+                # degrades column dtypes to null, breaking Arrow conversion)
+                fschema = ds.schema
+                fields = [
+                    pa.field("req_idx", pa.int64()),
+                    pa.field(e, fschema.field(e).type if e in fschema.names else pa.string()),
+                    pa.field(ts_col, pa.timestamp("ns")),
+                ] + [
+                    pa.field(f"f_{f.name}",
+                             pa.timestamp("ns") if f.name == ts_col else f.type)
+                    for f in fschema if f.name != e and f.name not in drop
+                ]
+                return pa.schema(fields).empty_table()
+            ents = sorted({p[0] for p in points})
+            ds, e, ts_col, tiebreaks, flt, drop = self._resolve(name, ents)
+            # NULL-ts feature rows can never be an as-of match and
+            # merge_asof forbids nulls in the on-key (r4 advice): drop
+            # them in the pushed-down filter, not post-hoc
+            flt = flt & pads.field(ts_col).is_valid()
+            feats = (
+                ds.to_table(
+                    filter=flt,
+                    columns=[c for c in ds.schema.names if c not in drop],
+                )
+                .to_pandas()
+                .sort_values([ts_col, *tiebreaks], kind="stable")
+                .reset_index(drop=True)
+            )
+            # pin ns resolution on BOTH merge keys: Arrow delivers us, pandas
+            # builds ns — merge_asof requires identical dtypes
+            feats[ts_col] = feats[ts_col].astype("datetime64[ns]")
+            spine = pd.DataFrame(
+                {"req_idx": range(len(points)), e: [p[0] for p in points],
+                 ts_col: pd.to_datetime([p[1] for p in points]).astype("datetime64[ns]")}
+            ).sort_values(ts_col, kind="stable")
+            feat_cols = [c for c in feats.columns if c not in (e,)]
+            renamed = feats.rename(columns={c: f"f_{c}" for c in feat_cols})
+            # backward merge_asof takes the LAST feats row with ts <= point
+            # ts; feats sorted (ts asc, tiebreaks asc) makes that the max
+            # (ts, tiebreaks) — identical tie policy to asof_join
+            out = pd.merge_asof(
+                spine, renamed, left_on=ts_col, right_on=f"f_{ts_col}",
+                by=e, direction="backward",
+            ).sort_values("req_idx").reset_index(drop=True)
+            ctx.rows = len(out)
+            return pa.Table.from_pandas(out, preserve_index=False)
 
     def get_feature_history(self, name: str, entity_id, start, end) -> pa.Table:
         """Inclusive-bounds history, newest first (reference
-        GetFeatureHistory; engine P3/O1 semantics)."""
-        meta = self.get_meta(name)
-        self.metrics.observe("get_feature_history")
-        e, ts = meta["entity_col"], meta["ts_col"]
-        flt = (pads.field(e) == entity_id)
-        if start is not None:
-            flt = flt & (pads.field(ts) >= start)
-        if end is not None:
-            flt = flt & (pads.field(ts) <= end)
-        t = self.dataset(name).to_table(filter=flt)
-        order = [(ts, "descending")] + [(c, "descending") for c in self._tiebreaks(meta)]
-        return t.sort_by(order)
+        GetFeatureHistory; engine P3/O1 semantics).  Bucket-pruned when
+        ``name`` is a registered bucketed table."""
+        with self.metrics.timed("get_feature_history") as ctx:
+            ds, e, ts, tiebreaks, flt, drop = self._resolve(name, [entity_id])
+            if flt is None:
+                flt = pads.field(e) == entity_id
+            if start is not None:
+                flt = flt & (pads.field(ts) >= start)
+            if end is not None:
+                flt = flt & (pads.field(ts) <= end)
+            t = ds.to_table(filter=flt)
+            t = t.drop_columns([c for c in drop if c in t.column_names])
+            order = [(ts, "descending")] + [(c, "descending") for c in tiebreaks]
+            ctx.rows = t.num_rows
+            return t.sort_by(order)
 
     def _tiebreaks(self, meta: dict) -> list[str]:
         names = [f["name"] for f in meta["schema"]["fields"]]
@@ -421,8 +542,10 @@ class ServingStore:
         """All rows for the requested entities from a registered bucketed
         table — opens only the partition directories the entities hash to
         (see BucketedTable)."""
-        self.metrics.observe("get_bucketed_rows")
-        return self.bucketed(name).rows_for(entity_ids)
+        with self.metrics.timed("get_bucketed_rows") as ctx:
+            t = self.bucketed(name).rows_for(entity_ids)
+            ctx.rows = t.num_rows
+            return t
 
 
 class BucketedTable:
@@ -478,16 +601,20 @@ def latest_from_dataset(
     tiebreaks: list[str] | None = None,
     entity_ids=None,
     as_of=None,
+    prefilter: pads.Expression | None = None,
 ) -> pa.Table:
     """Latest-per-entity over a pyarrow dataset: filter pushdown (entity
     IN-list + as-of cutoff reach parquet row-group stats), then a
     sort + first-per-group — the driver-side twin of
     operators/latest.latest_per_entity (ts desc, tiebreaks desc, C2
-    determinism).  Output sorted by entity for stable wire order."""
+    determinism).  Output sorted by entity for stable wire order.
+    ``prefilter``: an extra pushed-down expression (ServingStore routes
+    bucket pruning through it)."""
     tiebreaks = tiebreaks or []
-    flt = None
+    flt = prefilter
     if entity_ids is not None:
-        flt = pads.field(entity_col).isin(list(entity_ids))
+        c = pads.field(entity_col).isin(list(entity_ids))
+        flt = c if flt is None else (flt & c)
     if as_of is not None:
         c = pads.field(ts_col) <= as_of
         flt = c if flt is None else (flt & c)

