@@ -150,3 +150,24 @@ def test_wav_parser_total_on_arbitrary_bytes(data):
 
     out = parse_wav_header(data)
     assert out is None or (len(out) == 3 and all(v > 0 for v in out))
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(max_size=200))
+def test_image_header_parsers_total_on_arbitrary_bytes(data):
+    """parse_png/bmp/gif_header (and the magic dispatcher) never raise on
+    arbitrary bytes — corrupt payloads become NULL metadata, not task
+    failures; any parse that succeeds reports positive dims."""
+    from featherstore_spark.functions.multimodal import (
+        parse_bmp_header,
+        parse_gif_header,
+        parse_image_header,
+        parse_png_header,
+    )
+
+    for parser in (parse_png_header, parse_bmp_header, parse_gif_header,
+                   parse_image_header):
+        out = parser(data)
+        assert out is None or (
+            len(out) == 3 and out[0] > 0 and out[1] > 0 and out[2] in (1, 2, 3, 4)
+        )
