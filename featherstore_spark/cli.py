@@ -25,24 +25,31 @@ import json
 import sys
 
 
-def _build_parser() -> argparse.ArgumentParser:
+def _build_parser(cfg: dict) -> argparse.ArgumentParser:
+    """Parser with defaults drawn from the resolved config (config.py):
+    DEFAULTS < --config YAML < FEATHERSTORE_* env < explicit CLI flags —
+    the reference's viper precedence with argv as the final layer."""
+    pipe, store, serve_cfg = cfg["pipeline"], cfg["storage"], cfg["serving"]
     p = argparse.ArgumentParser(prog="featherstore_spark")
+    p.add_argument("--config", default=None,
+                   help="YAML deployment profile (see featherstore_spark/config.py)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     m = sub.add_parser("materialize", help="materialize per-turn features")
     m.add_argument("--input", required=True, help="transcript table path (parquet)")
     m.add_argument("--output", required=True, help="feature table output path")
     m.add_argument("--spine", help="optional spine table path -> point-in-time vectors")
-    m.add_argument("--trailing", default="10 minutes")
-    m.add_argument("--session-gap", default="30 minutes")
-    m.add_argument("--asof-strategy", default="window", choices=["window", "cogroup", "bucketed"])
-    m.add_argument("--asof-bucket", default="1 day")
-    m.add_argument("--n-buckets", type=int, default=64)
+    m.add_argument("--trailing", default=pipe["trailing"])
+    m.add_argument("--session-gap", default=pipe["session_gap"])
+    m.add_argument("--asof-strategy", default=pipe["asof_strategy"],
+                   choices=["window", "cogroup", "bucketed"])
+    m.add_argument("--asof-bucket", default=pipe["asof_bucket"])
+    m.add_argument("--n-buckets", type=int, default=pipe["n_buckets"])
     m.add_argument("--resume", action="store_true", help="skip buckets already checkpointed")
     m.add_argument("--verify", action="store_true",
                    help="audit mode: read the written partitions back and cross-check "
                         "row counts + content hashes against the in-job observed stats")
-    m.add_argument("--format", choices=["parquet", "iceberg"], default=None,
+    m.add_argument("--format", choices=["parquet", "iceberg"], default=store["format"],
                    help="output format (default: auto-detect Iceberg extensions)")
     m.add_argument("--manifest-dir", default=None,
                    help="manifest directory (required with --format iceberg, where "
@@ -54,14 +61,79 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("--mean-turns", type=int, default=30)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--skew", action="store_true")
+
+    s = sub.add_parser("serve", help="serve feature sets over Arrow Flight + HTTP")
+    s.add_argument("--root", default=serve_cfg["root"], help="catalog root directory")
+    s.add_argument("--http-port", type=int, default=serve_cfg["http_port"])
+    s.add_argument("--flight-port", type=int, default=serve_cfg["flight_port"])
+    s.add_argument("--host", default="127.0.0.1")
     return p
 
 
+def _scan_config_path(argv: list[str]) -> str | None:
+    """Pre-scan for --config so the file can seed parser DEFAULTS (the
+    flag must influence the defaults of the very parse that consumes it)."""
+    for i, a in enumerate(argv):
+        if a == "--config":
+            return argv[i + 1] if i + 1 < len(argv) else None
+        if a.startswith("--config="):
+            return a.split("=", 1)[1]
+    return None
+
+
+def start_servers(root: str, host: str = "127.0.0.1", http_port: int = 0,
+                  flight_port: int = 0):
+    """(flight_server, http_server) over one shared ServingStore — both
+    transports serve byte-identical rows and share the metrics registry.
+    Separated from main() so tests/embedders can start and shut down the
+    pair without blocking on serve_forever."""
+    from featherstore_spark.sources.flight import serve as flight_serve
+    from featherstore_spark.sources.http_api import make_server
+
+    fsrv = flight_serve(root, host=host, port=flight_port)
+    hsrv = make_server(root, host=host, port=http_port)
+    # one store, one metrics registry: HTTP /metrics reflects Flight ops too
+    hsrv.RequestHandlerClass.store = fsrv.store
+    return fsrv, hsrv
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    argv = sys.argv[1:] if argv is None else argv
+    from featherstore_spark.config import load_config
+
+    cfg = load_config(_scan_config_path(argv))
+    args = _build_parser(cfg).parse_args(argv)
+
+    if args.cmd == "serve":
+        # zero-Spark path: serving must never launch (or depend on) a session
+        fsrv, hsrv = start_servers(
+            args.root, host=args.host,
+            http_port=args.http_port, flight_port=args.flight_port,
+        )
+        import threading
+
+        threading.Thread(target=hsrv.serve_forever, daemon=True).start()
+        print(json.dumps({
+            "serving": args.root,
+            "flight_port": fsrv.port,
+            "http_port": hsrv.server_address[1],
+        }), flush=True)
+        fsrv.serve()  # blocks until shutdown
+        return 0
+
     from featherstore_spark.session import get_spark
 
-    spark = get_spark(app_name=f"featherstore_spark_{args.cmd}")
+    extra_conf = dict(cfg["spark"]["conf"])
+    if cfg["storage"]["compression"]:
+        extra_conf.setdefault(
+            "spark.sql.parquet.compression.codec", cfg["storage"]["compression"]
+        )
+    spark = get_spark(
+        master=cfg["spark"]["master"],
+        app_name=f"{cfg['spark']['app_name']}_{args.cmd}",
+        shuffle_partitions=cfg["spark"]["shuffle_partitions"],
+        extra_conf=extra_conf,
+    )
 
     if args.cmd == "generate":
         from featherstore_spark.datagen import generate_transcripts
