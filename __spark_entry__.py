@@ -477,9 +477,10 @@ def q_winnow_fingerprints(spark, sf_dir):
 def q_dedup_groups(spark, sf_dir):
     """Near-dup GROUPS: minhash pairs (threshold 0.9) collapsed to
     connected components, one (doc_id, group_id=min id in component) row
-    per paired doc (operators/dedup.connected_components — iterative
-    min-label propagation, persist-per-round).  Transitive closure is
-    the point: chained near-dups (A~B~C without A~C) must share one
+    per paired doc (operators/dedup.connected_components — alternating
+    large-star/small-star contraction, O(log diameter) rounds,
+    localCheckpoint lineage truncation per round).  Transitive closure
+    is the point: chained near-dups (A~B~C without A~C) must share one
     group.  Oracle: DuckDB WITH RECURSIVE transitive closure over the
     same pairs SQL."""
     from featherstore_spark.operators.dedup import (

@@ -56,6 +56,8 @@ HEADLINE = [
     "simhash_near_dups",
     "winnow_fingerprints",
     "winnow_near_dups",
+    "char_ngram_jaccard",
+    "dedup_groups",
     "cosine_topk",
     "media_byte_stats",
 ]
@@ -769,13 +771,19 @@ def main() -> None:
         "queries_loadavg": q_loads,
         "materialize": mat,
     }
-    # The artifact lands as a FILE from this process (VERDICT r3 #3):
-    # BENCH_r03.json was parsed:null because the stdout tail got truncated
-    # — the driver may still capture stdout, but the canonical parseable
-    # object is written here.
+    # Stdout carries ONE compact line and nothing after it (VERDICT r4
+    # #8: the driver's bounded stdout tail must land on a parseable
+    # object — the full result line was long enough to get cut mid-line).
+    # The complete artifact is the FILE (canonical since r3 #3).
+    compact = {
+        "metric": result["metric"], "value": result["value"],
+        "unit": result["unit"], "queries": result["queries"],
+        "sf": result["sf"], "materialize_median_s": mat.get("seconds"),
+        "turns_per_sec": mat.get("turns_per_sec"), "detail": "BENCH_RESULT.json",
+    }
+    print(json.dumps(compact), flush=True)
     with open(os.path.join(REPO, "BENCH_RESULT.json"), "w") as fh:
         json.dump(result, fh, indent=1)
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
