@@ -212,3 +212,176 @@ def test_png_bmp_gif_decoders_real_dimensions(spark):
         + struct.pack("<IiihHIIiiII", 40, 9, -4, 1, 32, 0, 0, 0, 0, 0, 0)
     ) == (9, 4, 4)
     assert parse_gif_header(b"GIF87a" + struct.pack("<HH", 2, 3) + b"\x00\x00\x00") == (2, 3, 3)
+
+
+def _png_encode(px, filters, color_type=2, palette=None):
+    """Minimal PNG encoder (all five filter types) — the test-side
+    inverse of decode_png_pixels, built only from the spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    flat = px.reshape(h, w * c).astype(np.int64)
+    bpp = c
+    lines = []
+    prev = np.zeros(w * c, np.int64)
+    for y in range(h):
+        row = flat[y]
+        f = filters[y % len(filters)]
+        a = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        cdiag = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - a) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = (row - (a + prev) // 2) % 256
+        else:
+            p = a + prev - cdiag
+            pa, pb, pc = abs(p - a), abs(p - prev), abs(p - cdiag)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, cdiag))
+            enc = (row - pred) % 256
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = row
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(b"".join(lines))) + chunk(b"IEND", b"")
+
+
+def _bmp_encode(px, bpp, topdown=False):
+    import struct
+
+    h, w, c = px.shape
+    nb = bpp // 8
+    rowlen = (w * nb + 3) & ~3
+    body = bytearray()
+    for y in (range(h) if topdown else range(h - 1, -1, -1)):
+        r = bytearray()
+        for x in range(w):
+            p = px[y, x]
+            r += bytes([p[2], p[1], p[0]] + ([p[3]] if nb == 4 else []))
+        r += b"\x00" * (rowlen - len(r))
+        body += r
+    dib = struct.pack("<IiihHIIiiII", 40, w, -h if topdown else h, 1, bpp,
+                      0, len(body), 0, 0, 0, 0)
+    return (b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+            + dib + bytes(body))
+
+
+def _wav_encode(frames, rate, ch, bits, data):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                      ch * bits // 8, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_png_pixel_decode_all_filters_exact():
+    """decode_png_pixels reproduces the original pixel array EXACTLY for
+    every PNG filter type (None/Sub/Up/Average/Paeth), gray/RGB/RGBA and
+    palette images — full stdlib-zlib decode, no image library; corrupt
+    zlib streams yield None."""
+    import numpy as np
+
+    from featherstore_spark.functions.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    for fs in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(decode_png_pixels(_png_encode(px, fs)), px), fs
+    g = rng.integers(0, 256, (5, 9, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(_png_encode(g, [4], color_type=0)), g)
+    rgba = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(_png_encode(rgba, [3], color_type=6)), rgba)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (7, 5, 1), dtype=np.uint8)
+    got = decode_png_pixels(_png_encode(idx, [0, 1], color_type=3, palette=pal))
+    assert np.array_equal(got, pal[idx.reshape(7, 5)])
+    bad = _png_encode(px, [0])
+    assert decode_png_pixels(bad[:-30] + b"\x00" * 30) is None
+
+
+def test_bmp_pnm_wav_content_decode_exact():
+    """BMP raw rows (24/32bpp, both row orders), netpbm 8/16-bit, and
+    PCM WAV 8/16-bit all decode to exact arrays."""
+    import numpy as np
+
+    from featherstore_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        decode_pnm_pixels,
+        decode_wav_samples,
+    )
+
+    rng = np.random.default_rng(6)
+    p24 = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp_pixels(_bmp_encode(p24, 24)), p24)
+    p32 = rng.integers(0, 256, (4, 7, 4), dtype=np.uint8)
+    assert np.array_equal(decode_bmp_pixels(_bmp_encode(p32, 32, topdown=True)), p32)
+    ppm8 = b"P6 5 3 255\n" + bytes(rng.integers(0, 256, 45, dtype=np.uint8))
+    assert decode_pnm_pixels(ppm8).shape == (3, 5, 3)
+    raw16 = rng.integers(0, 65536, 6, dtype=np.uint16)
+    pgm16 = b"P5 3 2 65535\n" + raw16.astype(">u2").tobytes()
+    assert np.array_equal(
+        decode_pnm_pixels(pgm16), (raw16 >> 8).astype(np.uint8).reshape(2, 3, 1)
+    )
+    s16 = rng.integers(-32768, 32767, 20, dtype=np.int16)
+    got = decode_wav_samples(_wav_encode(10, 16000, 2, 16, s16.tobytes()))
+    assert got.shape == (10, 2) and np.allclose(got.reshape(-1), s16 / 32768.0)
+    s8 = rng.integers(0, 256, 7, dtype=np.uint8)
+    assert np.allclose(
+        decode_wav_samples(_wav_encode(7, 8000, 1, 8, s8.tobytes())).reshape(-1),
+        (s8.astype(float) - 128) / 128,
+    )
+
+
+def test_media_content_stats_real_decode_through_spark(spark):
+    """media_content_stats computes REAL per-channel statistics from the
+    decoded content through mapInPandas: values match numpy on the
+    original arrays; undecodable payloads get decoded=false with NULL
+    stats."""
+    import numpy as np
+
+    from featherstore_spark.functions.multimodal import media_content_stats
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    s16 = rng.integers(-32768, 32767, 200, dtype=np.int16)
+    payloads = {
+        1: _png_encode(px, [0, 1, 2, 3, 4]),
+        2: _bmp_encode(px, 24),
+        3: _wav_encode(100, 16000, 2, 16, s16.tobytes()),
+        4: b"not media at all",
+        5: None,
+    }
+    rows = [(i, "x", p, None, None) for i, p in payloads.items()]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, source_uri string"
+    )
+    got = {r["media_id"]: r for r in media_content_stats(df).collect()}
+    a = px.astype(np.float64)
+    for mid in (1, 2):  # same pixels through two different codecs
+        r = got[mid]
+        assert r["kind"] == "image" and r["decoded"]
+        assert (r["width"], r["height"], r["channels"]) == (6, 8, 3)
+        assert abs(r["px_mean"] - a.mean()) < 1e-9
+        assert abs(r["px_std"] - a.std()) < 1e-9
+        assert np.allclose(r["channel_means"], a.mean(axis=(0, 1)))
+    w = got[3]
+    samples = (s16 / 32768.0).reshape(-1, 2)
+    assert w["kind"] == "audio" and (w["width"], w["height"], w["channels"]) == (100, 16000, 2)
+    assert abs(w["px_mean"] - samples.mean()) < 1e-9
+    assert abs(w["px_std"] - np.sqrt((samples ** 2).mean())) < 1e-9
+    for bad in (4, 5):
+        assert not got[bad]["decoded"] and got[bad]["px_mean"] is None

@@ -171,3 +171,24 @@ def test_image_header_parsers_total_on_arbitrary_bytes(data):
         assert out is None or (
             len(out) == 3 and out[0] > 0 and out[1] > 0 and out[2] in (1, 2, 3, 4)
         )
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_content_decoders_total_on_arbitrary_bytes(data):
+    """Full-content decoders (PNG/BMP/PNM pixels, WAV samples, and the
+    magic dispatcher) never raise on arbitrary bytes."""
+    from featherstore_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        decode_media_content,
+        decode_png_pixels,
+        decode_pnm_pixels,
+        decode_wav_samples,
+    )
+
+    for dec in (decode_png_pixels, decode_bmp_pixels, decode_pnm_pixels,
+                decode_wav_samples):
+        out = dec(data)
+        assert out is None or out.size >= 0
+    out = decode_media_content(data)
+    assert out is None or out[0] in ("image", "audio")
