@@ -208,3 +208,12 @@ def test_winnow_near_dups_fingerprint_udf_runs_once(spark):
     plan = _plan(winnow_near_duplicates(docs, min_shared=3, max_fp_docs=100))
     assert "ExistingRDD" in plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_char_ngram_contract_query_has_no_cross_join(spark):
+    """The char-n-gram contract query runs the prefix-filter candidate
+    path: no cartesian/BNLJ anywhere — the within-block crossJoin was
+    the one headline plan that could not survive 100 TB."""
+    plan = _plan(entry_mod.q_char_ngram_jaccard(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

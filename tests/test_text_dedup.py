@@ -486,3 +486,59 @@ def test_connected_components_giant_star(spark):
     agg = labels.groupBy("group_id").count().collect()
     assert len(agg) == 1
     assert agg[0]["group_id"] == 0 and agg[0]["count"] == spokes + 1
+
+
+def test_char_ngram_prefix_filter_exactly_matches_bruteforce(spark, documents):
+    """The prefix-filter candidate path (method='prefix', the scale
+    default) is OUTPUT-IDENTICAL to the brute-force blocked join at
+    every threshold — the All-Pairs prefix lemma admits no false
+    negatives, and verification removes the extra candidates.  Corpus
+    includes planted near-dup damage so pairs exist above each
+    threshold."""
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    base = documents.where(F.col("doc_id") < 60)
+    damaged = (
+        base.where(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xq")))
+    )
+    corpus = base.unionByName(damaged)
+    for t in (0.25, 0.6, 0.85):
+        for blk in (None, "lang"):
+            kw = {"block_col": blk} if blk else {}
+            brute = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in char_ngram_jaccard_pairs(
+                    corpus, n=3, threshold=t, method="block", **kw
+                ).collect()
+            }
+            pref = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in char_ngram_jaccard_pairs(
+                    corpus, n=3, threshold=t, method="prefix", **kw
+                ).collect()
+            }
+            assert pref == brute, (t, blk, len(pref), len(brute))
+    assert brute  # the highest-threshold blocked run still found pairs
+
+
+def test_char_ngram_auto_method_selection(spark, documents):
+    """'auto' measures the brute pair space with one count job and
+    switches to the prefix-filter plan above the budget — outputs
+    identical either side of the cut."""
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    docs = documents.where(F.col("doc_id") < 40)
+    lo = char_ngram_jaccard_pairs(docs, threshold=0.5, auto_pair_budget=1)
+    hi = char_ngram_jaccard_pairs(docs, threshold=0.5, auto_pair_budget=10**9)
+    lo_plan = lo._jdf.queryExecution().executedPlan().toString()
+    hi_plan = hi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in lo_plan          # prefix path chosen
+    assert "ExistingRDD" in lo_plan                   # checkpointed grams
+    # brute path (unblocked): a cross join — CartesianProduct, or BNLJ
+    # when AQE broadcasts the small side
+    assert "CartesianProduct" in hi_plan or "BroadcastNestedLoopJoin" in hi_plan
+    a = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lo.collect()}
+    b = {(r["id_a"], r["id_b"]): r["jaccard"] for r in hi.collect()}
+    assert a == b
