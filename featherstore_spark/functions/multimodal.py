@@ -5,12 +5,18 @@ columns end-to-end, /root/reference/pkg/storage/duckdb/duckdb.go:329-330,
 processing path).
 
 The Spark-side plumbing is REAL and tested: schema, Arrow batch shape,
-``mapInPandas`` iteration, partition sizing.  The actual codec work is
-STUBBED — this container has no image/audio libraries — behind
-``decoder='fake'`` (deterministic hash-derived metadata, good for pipeline
-tests) or ``decoder='pil'`` (raises ``NotImplementedError`` unless PIL is
-importable; the UDF signature and batch contract are exactly what a real
-decoder plugs into).
+``mapInPandas`` iteration, partition sizing.  The codecs are REAL too —
+pure stdlib+numpy, no image/audio libraries: two tiers,
+- header tier (``decode_media``): dims for netpbm/PNG/BMP/GIF/WAV from
+  fixed-offset header reads, magic-dispatched via ``decoder='image'``;
+- content tier (``media_content_stats``): full pixel/sample decode —
+  PNG (zlib inflate + scanline unfilter), GIF (pure-python LZW), BMP
+  raw rows, netpbm raw, PCM WAV — with per-channel statistics.
+Every decoder returns NULL on malformed bytes (fuzz-tested totality):
+one bad file never kills a 100 TB job.  Only JPEG's entropy pipeline
+remains stubbed, behind ``decoder='pil'`` (raises NotImplementedError
+unless PIL is importable); ``decoder='fake'`` keeps the deterministic
+hash-derived stand-in for pipeline tests.
 """
 
 from __future__ import annotations
@@ -330,6 +336,133 @@ def decode_bmp_pixels(b: bytes | None):
     return px[..., [2, 1, 0] + ([3] if nbytes == 4 else [])]  # BGR(A)→RGB(A)
 
 
+def _lzw_decode_gif(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW: variable code width from ``min_code_size + 1``,
+    CLEAR = 2^mcs resets the table, EOI = CLEAR + 1 ends the stream,
+    width grows at table size 2^width up to 12 bits.  Returns the index
+    list or ``None`` on a corrupt stream; output is capped at
+    ``max_pixels`` (a malformed stream cannot balloon memory)."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+
+    def reset():
+        nonlocal table, width
+        table = [(i,) for i in range(clear)] + [(), ()]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    acc = nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) > max_pixels:
+                return None
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def decode_gif_pixels(b: bytes | None):
+    """FULL GIF pixel decode in pure python — LZW included, no image
+    library: header + color tables + first image descriptor → LZW
+    inflate → deinterlace when flagged → palette-mapped (h, w, 3)
+    uint8.  Animated GIFs decode their FIRST frame (the standard
+    thumbnail semantic).  ``None`` on any malformed structure — same
+    totality as every other decoder here.  With this, GIF leaves the
+    'pil' stub; only JPEG's entropy pipeline remains there."""
+    import struct
+
+    if parse_gif_header(b) is None:
+        return None
+    packed = b[10]
+    i = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        if i + n > len(b):
+            return None
+        global_pal = np.frombuffer(b, np.uint8, n, offset=i).reshape(-1, 3)
+        i += n
+    while i < len(b):
+        marker = b[i]
+        if marker == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif marker == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                return None
+            _x, _y, w, h = struct.unpack_from("<HHHH", b, i + 1)
+            ipacked = b[i + 9]
+            i += 10
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                if i + n > len(b):
+                    return None
+                pal = np.frombuffer(b, np.uint8, n, offset=i).reshape(-1, 3)
+                i += n
+            if pal is None or w == 0 or h == 0 or i >= len(b):
+                return None
+            mcs = b[i]
+            i += 1
+            chunks = []
+            while i < len(b) and b[i] != 0:
+                ln = b[i]
+                if i + 1 + ln > len(b):
+                    return None
+                chunks.append(b[i + 1:i + 1 + ln])
+                i += 1 + ln
+            idx = _lzw_decode_gif(b"".join(chunks), mcs, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if arr.max(initial=0) >= len(pal):
+                return None
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                         for y in range(start, h, step)]
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            return pal[arr]
+        elif marker == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_wav_samples(b: bytes | None):
     """PCM sample decode for 8/16-bit RIFF/WAVE payloads: one
     ``np.frombuffer`` over the data chunk → (n_frames, channels)
@@ -411,8 +544,10 @@ def decode_media(df: DataFrame, decoder: str = "fake", batch_rows: int = 256) ->
       n_frames/sample_rate/channels); anything malformed yields NULL
       dims, never task failures.  'fake' derives dims deterministically
       from the payload hash (pipeline-testable stand-in for compressed
-      formats); 'pil' is the PIXEL-data codec slot (zlib/LZW/JPEG entropy
-      decode) and raises NotImplementedError while PIL is absent.
+      formats); 'pil' is now ONLY the JPEG slot (PNG pixels, GIF LZW,
+      BMP, netpbm and WAV all have real pure-python decoders — see
+      decode_media_content) and raises NotImplementedError while PIL
+      is absent.
 
     ``batch_rows`` caps the Arrow batch so payload bytes never exceed
     executor memory (the multimodal analogue of the applyInPandas group-
@@ -514,8 +649,9 @@ def decode_media(df: DataFrame, decoder: str = "fake", batch_rows: int = 256) ->
 
 def decode_media_content(b: bytes | None):
     """Magic-dispatched FULL-content decode: ('image', (h, w, c) uint8
-    pixels) for PNG/BMP/netpbm, ('audio', (frames, channels) float64
-    samples) for PCM WAV, ``None`` for anything else/malformed."""
+    pixels) for PNG/BMP/GIF/netpbm, ('audio', (frames, channels)
+    float64 samples) for PCM WAV, ``None`` for anything
+    else/malformed."""
     if b is None or len(b) < 8:
         return None
     if b[0:4] == b"RIFF":
@@ -525,6 +661,8 @@ def decode_media_content(b: bytes | None):
         px = decode_png_pixels(b)
     elif b[0:2] == b"BM":
         px = decode_bmp_pixels(b)
+    elif b[0:3] == b"GIF":
+        px = decode_gif_pixels(b)
     elif b[0:1] == b"P" and b[1] in (0x35, 0x36):
         px = decode_pnm_pixels(b)
     else:

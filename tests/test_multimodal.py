@@ -385,3 +385,72 @@ def test_media_content_stats_real_decode_through_spark(spark):
     assert abs(w["px_std"] - np.sqrt((samples ** 2).mean())) < 1e-9
     for bad in (4, 5):
         assert not got[bad]["decoded"] and got[bad]["px_mean"] is None
+
+
+def _gif_encode(idx, pal, mcs=None, interlace=False):
+    """Minimal GIF encoder: literal LZW codes with frequent CLEARs (a
+    valid stream whose code width never grows) — the test-side inverse
+    of decode_gif_pixels, built only from the spec."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    ncol = len(pal)
+    depth = max(2, int(np.ceil(np.log2(max(ncol, 2)))))
+    mcs = mcs or depth
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    order = ([y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+              for y in range(start, h, step)] if interlace else range(h))
+    flat = np.concatenate([idx[y] for y in order]).tolist()
+    codes = [clear]
+    run = 0
+    for v in flat:
+        if run == (1 << mcs) - 2:
+            codes.append(clear)
+            run = 0
+        codes.append(v)
+        run += 1
+    codes.append(eoi)
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += mcs + 1
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    pal_full = np.zeros((1 << depth, 3), np.uint8)
+    pal_full[:ncol] = pal
+    header = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+              + pal_full.tobytes())
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    body = bytes([mcs])
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        body += bytes([len(chunk)]) + bytes(chunk)
+    return header + desc + body + b"\x00" + b"\x3B"
+
+
+def test_gif_pixel_decode_exact():
+    """decode_gif_pixels reproduces exact palette-mapped pixels through
+    a REAL pure-python LZW decode — plain and interlaced, with an
+    extension block in front; truncated streams yield None."""
+    import numpy as np
+
+    from featherstore_spark.functions.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (11, 7), dtype=np.uint8)
+    plain = _gif_encode(idx, pal)
+    assert np.array_equal(decode_gif_pixels(plain), pal[idx])
+    inter = _gif_encode(idx, pal, interlace=True)
+    assert np.array_equal(decode_gif_pixels(inter), pal[idx])
+    # graphic-control extension before the descriptor must be skipped
+    ext = plain[:13 + 24] + b"\x21\xF9\x04\x00\x00\x00\x00\x00" + plain[13 + 24:]
+    assert np.array_equal(decode_gif_pixels(ext), pal[idx])
+    assert decode_gif_pixels(plain[:len(plain) // 2]) is None
