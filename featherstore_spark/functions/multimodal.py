@@ -7,8 +7,9 @@ processing path).
 The Spark-side plumbing is REAL and tested: schema, Arrow batch shape,
 ``mapInPandas`` iteration, partition sizing.  The codecs are REAL too —
 pure stdlib+numpy, no image/audio libraries: two tiers,
-- header tier (``decode_media``): dims for netpbm/PNG/BMP/GIF/WAV from
-  fixed-offset header reads, magic-dispatched via ``decoder='image'``;
+- header tier (``decode_media``): dims for netpbm/PNG/BMP/GIF/JPEG/WAV
+  from fixed-offset header / marker-segment reads, magic-dispatched via
+  ``decoder='image'``;
 - content tier (``media_content_stats``): full pixel/sample decode —
   PNG (zlib inflate + scanline unfilter), GIF (pure-python LZW), BMP
   raw rows, netpbm raw, PCM WAV — with per-channel statistics.
@@ -184,14 +185,57 @@ def parse_gif_header(b: bytes | None) -> tuple[int, int, int] | None:
     return (width, height, 3)
 
 
+#: JPEG start-of-frame markers that carry dims (baseline, extended
+#: sequential, progressive, lossless, and their differential/arithmetic
+#: variants) — everything in 0xC0-0xCF except DHT(C4)/DAC(C8)/restarts.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_header(b: bytes | None) -> tuple[int, int, int] | None:
+    """REAL dims for JPEG payloads: marker-segment walk to the first
+    start-of-frame (SOFn) — height/width/components sit at fixed offsets
+    in that segment, no entropy decode required.  ``None`` on wrong
+    magic, a malformed segment chain, or a truncated SOF.  Pixel decode
+    (the entropy pipeline) is the one remaining 'pil' slot."""
+    import struct
+
+    if b is None or len(b) < 4 or b[0:2] != b"\xFF\xD8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:  # restart/SOI/EOI: no length field
+            i += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", b, i + 2)
+        if seglen < 2 or i + 2 + seglen > len(b):
+            return None
+        if marker in _JPEG_SOF:
+            if seglen < 8:
+                return None
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", b, i + 4)
+            if width == 0 or height == 0 or ncomp not in (1, 3, 4):
+                return None
+            return (width, height, ncomp)
+        i += 2 + seglen
+    return None
+
+
 def parse_image_header(b: bytes | None) -> tuple[int, int, int] | None:
-    """Magic-dispatching image header parse: PNG / BMP / GIF / netpbm,
-    whichever the payload's signature claims; ``None`` if none match or
-    the claimed format's header is malformed."""
+    """Magic-dispatching image header parse: PNG / BMP / GIF / JPEG /
+    netpbm, whichever the payload's signature claims; ``None`` if none
+    match or the claimed format's header is malformed."""
     if b is None or len(b) < 2:
         return None
     if b[0:1] == b"\x89":
         return parse_png_header(b)
+    if b[0:2] == b"\xFF\xD8":
+        return parse_jpeg_header(b)
     if b[0:2] == b"BM":
         return parse_bmp_header(b)
     if b[0:3] == b"GIF":
@@ -527,6 +571,7 @@ _HEADER_PARSERS = {
     "png": parse_png_header,
     "bmp": parse_bmp_header,
     "gif": parse_gif_header,
+    "jpeg": parse_jpeg_header,
     "image": parse_image_header,
     "wav": parse_wav_header,
 }

@@ -454,3 +454,32 @@ def test_gif_pixel_decode_exact():
     ext = plain[:13 + 24] + b"\x21\xF9\x04\x00\x00\x00\x00\x00" + plain[13 + 24:]
     assert np.array_equal(decode_gif_pixels(ext), pal[idx])
     assert decode_gif_pixels(plain[:len(plain) // 2]) is None
+
+
+def _jpeg_bytes(w, h, ncomp=3, progressive=False):
+    import struct
+
+    sof = b"\xC2" if progressive else b"\xC0"
+    seg = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + bytes(3 * ncomp)
+    app0 = b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    dqt = b"\xFF\xDB" + struct.pack(">H", 67) + bytes(65)
+    return (b"\xFF\xD8" + app0 + dqt + b"\xFF" + sof + seg
+            + b"\xFF\xDA" + struct.pack(">H", 2) + b"entropy...")
+
+
+def test_jpeg_header_real_dimensions():
+    """parse_jpeg_header walks marker segments to the first SOFn and
+    reads true dims — baseline and progressive, gray and color; the
+    magic dispatcher routes JPEG payloads to it; truncated chains are
+    None."""
+    from featherstore_spark.functions.multimodal import (
+        parse_image_header,
+        parse_jpeg_header,
+    )
+
+    assert parse_jpeg_header(_jpeg_bytes(1920, 1080)) == (1920, 1080, 3)
+    assert parse_jpeg_header(_jpeg_bytes(64, 48, 1, progressive=True)) == (64, 48, 1)
+    assert parse_image_header(_jpeg_bytes(33, 22)) == (33, 22, 3)
+    assert parse_jpeg_header(_jpeg_bytes(9, 7)[:12]) is None
+    assert parse_jpeg_header(b"\xFF\xD8\xFF\xE0\x00") is None
+    assert parse_jpeg_header(None) is None

@@ -162,11 +162,12 @@ def test_image_header_parsers_total_on_arbitrary_bytes(data):
         parse_bmp_header,
         parse_gif_header,
         parse_image_header,
+        parse_jpeg_header,
         parse_png_header,
     )
 
     for parser in (parse_png_header, parse_bmp_header, parse_gif_header,
-                   parse_image_header):
+                   parse_jpeg_header, parse_image_header):
         out = parser(data)
         assert out is None or (
             len(out) == 3 and out[0] > 0 and out[1] > 0 and out[2] in (1, 2, 3, 4)
