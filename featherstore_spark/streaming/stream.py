@@ -251,6 +251,37 @@ def streaming_cumulative_features(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.exact_duplicates' DROP side:
+    first-arrival-wins on the normalized md5 content fingerprint, with
+    state bounded by the watermark (``dropDuplicatesWithinWatermark``
+    evicts fingerprints older than the watermark — O(active window)
+    state, the only state bound that survives an unbounded corpus; a
+    plain ``dropDuplicates`` would grow state forever).
+
+    Semantics note vs batch: batch keeps the MIN-id representative of
+    each duplicate class; a stream cannot see the future, so it keeps
+    the FIRST ARRIVAL — identical output whenever ingestion is id/time
+    ordered, and the standard streaming dedup contract otherwise.  A
+    duplicate arriving after its fingerprint's state expired is re-
+    emitted (watermark trade-off); the terminal batch dedup over the
+    materialized corpus remains the exactness backstop, exactly like
+    the backfill path for late rows."""
+    from featherstore_spark.functions.text import fingerprint
+
+    return (
+        stream.withColumn("fp", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+
+
 def run_stream_to_table(out_df: DataFrame, target_dir: str, checkpoint_dir: str):
     """availableNow trigger: process the whole backlog then stop — the
     streaming analogue of a batch backfill, restartable from the stream

@@ -246,3 +246,33 @@ def test_stateful_buffer_mode_caps_held_rows(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="max_buffer"):
         q.awaitTermination(120)
+
+
+def test_streaming_exact_dedup_matches_batch_classes(spark, tmp_path_factory):
+    """Streaming exact dedup (first-arrival-wins within the watermark)
+    keeps exactly ONE representative per duplicate class — the same
+    class set the batch dedup computes; only the representative choice
+    (first arrival vs min id) may differ."""
+    from featherstore_spark.datagen import generate_transcripts
+    from featherstore_spark.functions.text import fingerprint
+    from featherstore_spark.streaming.stream import streaming_exact_dedup
+
+    d = str(tmp_path_factory.mktemp("sdedup") / "t")
+    base = generate_transcripts(spark, n_convs=10, mean_turns=10, seed=33)
+    dupes = base.withColumn("conv_id", F.concat(F.lit("copy_"), F.col("conv_id")))
+    base.unionByName(dupes).write.parquet(d)
+
+    stream = read_transcript_stream(spark, d, max_files=1)
+    q = (
+        streaming_exact_dedup(stream, text_col="text", ts_col="ts")
+        .writeStream.format("memory").queryName("sded")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sded")
+    batch = spark.read.parquet(d)
+    n_classes = batch.select(fingerprint("text").alias("fp")).distinct().count()
+    assert got.count() == n_classes
+    got_fps = {r["fp"] for r in got.select(fingerprint("text").alias("fp")).collect()}
+    exp_fps = {r["fp"] for r in batch.select(fingerprint("text").alias("fp")).distinct().collect()}
+    assert got_fps == exp_fps
