@@ -597,12 +597,29 @@ def char_ngram_jaccard_pairs(
 
 # ------------------------------------------------------- dedup groups --
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge via ONE explode pass.  Deliberately
+    NOT ``edges.unionAll(edges.select(v, u))``: a Union whose children
+    are two swapped projections of the SAME relation trips a Catalyst
+    constraint-rewrite bug (``NoSuchElementException: key not found``
+    in ``UnionBase.rewriteConstraints``) when the relation is a
+    localCheckpoint'd LogicalRDD carrying origin constraints — hit at
+    2M-edge scale in round-5 stress testing.  Explode also scans the
+    input once instead of twice."""
+    return edges.select(
+        F.explode(F.array(
+            F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )).alias("__e")
+    ).select("__e.u", "__e.v")
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14): for every node u, connect each
     STRICTLY LARGER neighbor to m = min(N(u) + {u}).  Input/output:
     directed (u, v) edge rows; neighborhoods are read symmetrically."""
-    nbrs = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbrs = _symmetrize(edges)
     # m per node: one map-side-combined MIN aggregate (tiny shuffle rows).
     m = nbrs.groupBy("u").agg(F.min("v").alias("__mn")).select(
         "u", F.least("u", "__mn").alias("m")
@@ -619,18 +636,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient every edge large→small, then for each
     node u connect all of its (now strictly smaller) neighbors AND u
     itself to m = min of the neighborhood.  Self-edges (m→m) are not
-    emitted."""
+    emitted.  The two emit groups — (neighbor → m) and (u → m) — come
+    out of one explode, not a self-union (see _symmetrize)."""
     directed = (
         edges.where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
     )
     m = directed.groupBy("u").agg(F.min("v").alias("m"))
-    joined = directed.join(m, "u")
-    nbr_part = joined.where(F.col("v") != F.col("m")).select(
-        F.col("v").alias("u"), F.col("m").alias("v")
+    return (
+        directed.join(m, "u")
+        .select(F.explode(F.array(
+            F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+            F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+        )).alias("__e"))
+        .select("__e.u", "__e.v")
+        .where(F.col("u") != F.col("v"))  # drops the (m, m) self row
+        .distinct()
     )
-    self_part = m.select("u", F.col("m").alias("v"))  # u > m always holds
-    return nbr_part.unionAll(self_part).distinct()
 
 
 def connected_components(
@@ -673,8 +695,7 @@ def connected_components(
     semantics, HDFS-durable blocks.  ``stats``, if given, gets
     ``stats["rounds"]`` = contraction rounds executed."""
     nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionAll(pairs.select(F.col(id_b).alias("id")))
+        pairs.select(F.explode(F.array(F.col(id_a), F.col(id_b))).alias("id"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -714,8 +735,8 @@ def connected_components(
         stats["rounds"] = rounds
     # Fixpoint edges are stars (u → component min).  Nodes that only
     # appeared in self-pairs have no star edge: coalesce to self.
-    star = edges.select(F.col("u").alias("id"), F.col("v").alias("group_id")).unionAll(
-        edges.select(F.col("v").alias("id"), F.col("v").alias("group_id"))
+    star = edges.select(
+        F.explode(F.array("u", "v")).alias("id"), F.col("v").alias("group_id")
     ).distinct()
     labels = nodes.join(star, "id", "left").select(
         "id", F.coalesce("group_id", "id").alias("group_id")

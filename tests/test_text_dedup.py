@@ -542,3 +542,25 @@ def test_char_ngram_auto_method_selection(spark, documents):
     a = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lo.collect()}
     b = {(r["id_a"], r["id_b"]): r["jaccard"] for r in hi.collect()}
     assert a == b
+
+
+def test_connected_components_checkpoint_constraint_shape(spark):
+    """Regression (r5): edge inputs whose lineage mixes range-derived and
+    hash-derived unions made the OLD swapped-projection self-union trip
+    Catalyst's Union constraint rewrite (NoSuchElementException:
+    key not found) once the relation was localCheckpoint'd.  The explode
+    formulation must survive this input shape and still label correctly."""
+    from featherstore_spark.operators.dedup import connected_components
+
+    chain = spark.range(500 - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    blob = spark.range(400).select(
+        (F.abs(F.xxhash64("id", F.lit(1))) % 200 + 2_000).alias("id_a"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % 200 + 2_000).alias("id_b"),
+    )
+    stats = {}
+    labels = connected_components(chain.unionAll(blob), stats=stats)
+    agg = {r["group_id"]: r["count"] for r in labels.groupBy("group_id").count().collect()}
+    assert agg.get(0) == 500  # the chain collapsed to its minimum
+    assert stats["rounds"] <= 12
