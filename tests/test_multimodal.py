@@ -483,3 +483,44 @@ def test_jpeg_header_real_dimensions():
     assert parse_jpeg_header(_jpeg_bytes(9, 7)[:12]) is None
     assert parse_jpeg_header(b"\xFF\xD8\xFF\xE0\x00") is None
     assert parse_jpeg_header(None) is None
+
+
+def test_jpeg_pixel_decode_baseline():
+    """decode_jpeg_pixels is a REAL baseline JPEG decoder (pure
+    python+numpy): gray and RGB 4:4:4 round-trip within the all-ones
+    quantization error (<=2 levels), 4:2:0 chroma subsampling
+    reconstructs a smooth image within 1 level, restart markers reset
+    DC predictors correctly, and truncated streams yield None."""
+    import numpy as np
+
+    from featherstore_spark.functions.multimodal import (
+        decode_jpeg_pixels,
+        decode_media_content,
+    )
+    from tests.jpeg_encoder import encode
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    got = decode_jpeg_pixels(encode(g))
+    assert got.shape == (24, 17, 1)
+    assert np.abs(got[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    rgb = rng.integers(0, 256, (21, 30, 3), dtype=np.uint8)
+    got3 = decode_jpeg_pixels(encode(rgb))
+    assert got3.shape == (21, 30, 3)
+    assert np.abs(got3.astype(int) - rgb.astype(int)).max() <= 2
+
+    gotr = decode_jpeg_pixels(encode(rgb, restart=2))
+    assert np.abs(gotr.astype(int) - rgb.astype(int)).max() <= 2
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack(
+        [80 + yy, 90 + xx * 0.5, 100 + (yy + xx) * 0.3], axis=-1
+    ).astype(np.uint8)
+    got420 = decode_jpeg_pixels(encode(smooth, subsample=True))
+    assert got420.shape == smooth.shape
+    assert np.abs(got420.astype(int) - smooth.astype(int)).max() <= 2
+
+    assert decode_jpeg_pixels(encode(rgb)[: len(encode(rgb)) // 3]) is None
+    kind, px = decode_media_content(encode(rgb))
+    assert kind == "image" and px.shape == (21, 30, 3)

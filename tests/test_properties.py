@@ -182,6 +182,7 @@ def test_content_decoders_total_on_arbitrary_bytes(data):
     from featherstore_spark.functions.multimodal import (
         decode_bmp_pixels,
         decode_gif_pixels,
+        decode_jpeg_pixels,
         decode_media_content,
         decode_png_pixels,
         decode_pnm_pixels,
@@ -189,7 +190,7 @@ def test_content_decoders_total_on_arbitrary_bytes(data):
     )
 
     for dec in (decode_png_pixels, decode_bmp_pixels, decode_gif_pixels,
-                decode_pnm_pixels, decode_wav_samples):
+                decode_jpeg_pixels, decode_pnm_pixels, decode_wav_samples):
         out = dec(data)
         assert out is None or out.size >= 0
     out = decode_media_content(data)
