@@ -561,6 +561,36 @@ def q_media_byte_stats(spark, sf_dir):
     )
 
 
+def q_media_decode_dims(spark, sf_dir):
+    """REAL image decode under the value-checked contract: each
+    document's utf-8 bytes are wrapped JVM-side into a valid one-row
+    binary PGM payload (``P5 <w> 1 255\\n`` + bytes), then decoded by
+    the REAL netpbm parser through mapInPandas
+    (functions/multimodal.decode_media, decoder='ppm').  The oracle
+    recomputes every output as a pure function of octet_length — the
+    decoder must report width=n_bytes, height=1, channels=1, and NULL
+    dims for empty/null texts (a zero-width header is malformed), so a
+    parser regression breaks the hash."""
+    from featherstore_spark.functions.multimodal import decode_media
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+    n = F.length(body)
+    header = F.encode(
+        F.concat(F.lit("P5 "), n.cast("string"), F.lit(" 1 255\n")), "utf-8"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, body).alias("payload"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+        F.lit(None).cast("string").alias("source_uri"),
+    )
+    return decode_media(media, decoder="ppm").select(
+        "media_id", "byte_len", "width", "height", "channels"
+    )
+
+
 # ------------------------------------------------------------ embeddings --
 
 def q_cosine_topk(spark, sf_dir):
@@ -659,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "media_byte_stats": q_media_byte_stats,
+        "media_decode_dims": q_media_decode_dims,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # scale-path approximations — md5-based hashing (functions/
@@ -882,6 +913,20 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(coalesce(text, '')))::BIGINT AS byte_len,
                    md5(text) AS payload_md5
             FROM documents
+        """,
+        "media_decode_dims": """
+            -- twin of the REAL netpbm decode over engine-built PGM
+            -- payloads: dims are pure functions of the utf-8 byte
+            -- length; empty/null text -> zero-width header -> NULL dims
+            -- (byte_len = header '3 + digits + 7' + body)
+            SELECT doc_id AS media_id,
+                   (10 + length(n::VARCHAR) + n)::BIGINT AS byte_len,
+                   CASE WHEN n > 0 THEN n::INTEGER END AS width,
+                   CASE WHEN n > 0 THEN 1::INTEGER END AS height,
+                   CASE WHEN n > 0 THEN 1::INTEGER END AS channels
+            FROM (SELECT doc_id,
+                         octet_length(encode(coalesce(text, ''))) AS n
+                  FROM documents)
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
