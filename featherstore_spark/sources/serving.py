@@ -394,10 +394,14 @@ class ServingStore:
 
         Scale shape: one pruned dataset read for the requested entities —
         bucket-pruned to the hashed ``p_bucket=`` directories when the
-        set is a registered bucketed table (r4 verdict #3) — then
-        ``pd.merge_asof`` over the (small) point set — no Spark job,
+        set is a registered bucketed table (r4 verdict #3) — then a
+        pure Arrow/numpy as-of match: Arrow-native sort by
+        (entity, ts, tiebreaks), one binary search per point, one
+        null-tolerant ``take`` for the matched rows.  No pandas in the
+        hot path (r5: the merge_asof + sort_values + frame-conversion
+        machinery was >half of every lookup's latency), no Spark job,
         no full-table work."""
-        import pandas as pd
+        import numpy as np
 
         with self.metrics.timed("get_features_at") as ctx:
             ds, e, ts_col, tiebreaks, _, drop = self._resolve(name, None)
@@ -423,37 +427,54 @@ class ServingStore:
                 return pa.schema(fields).empty_table()
             ents = sorted({p[0] for p in points})
             ds, e, ts_col, tiebreaks, flt, drop = self._resolve(name, ents)
-            # NULL-ts feature rows can never be an as-of match and
-            # merge_asof forbids nulls in the on-key (r4 advice): drop
-            # them in the pushed-down filter, not post-hoc
+            # NULL-ts feature rows can never be an as-of match (r4
+            # advice): drop them in the pushed-down filter, not post-hoc
             flt = flt & pads.field(ts_col).is_valid()
-            feats = (
-                ds.to_table(
-                    filter=flt,
-                    columns=[c for c in ds.schema.names if c not in drop],
-                )
-                .to_pandas()
-                .sort_values([ts_col, *tiebreaks], kind="stable")
-                .reset_index(drop=True)
+            feats = ds.to_table(
+                filter=flt,
+                columns=[c for c in ds.schema.names if c not in drop],
             )
-            # pin ns resolution on BOTH merge keys: Arrow delivers us, pandas
-            # builds ns — merge_asof requires identical dtypes
-            feats[ts_col] = feats[ts_col].astype("datetime64[ns]")
-            spine = pd.DataFrame(
-                {"req_idx": range(len(points)), e: [p[0] for p in points],
-                 ts_col: pd.to_datetime([p[1] for p in points]).astype("datetime64[ns]")}
-            ).sort_values(ts_col, kind="stable")
-            feat_cols = [c for c in feats.columns if c not in (e,)]
-            renamed = feats.rename(columns={c: f"f_{c}" for c in feat_cols})
-            # backward merge_asof takes the LAST feats row with ts <= point
-            # ts; feats sorted (ts asc, tiebreaks asc) makes that the max
-            # (ts, tiebreaks) — identical tie policy to asof_join
-            out = pd.merge_asof(
-                spine, renamed, left_on=ts_col, right_on=f"f_{ts_col}",
-                by=e, direction="backward",
-            ).sort_values("req_idx").reset_index(drop=True)
-            ctx.rows = len(out)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # Arrow-native sort (entity asc, ts asc, tiebreaks asc): the
+            # LAST row with ts <= point inside an entity run is then the
+            # max-(ts, tiebreaks) winner — identical tie policy to
+            # asof_join (C2/C3).  Nulls in tiebreaks sort last, matching
+            # the previous pandas ordering.
+            feats = feats.set_column(
+                feats.schema.get_field_index(ts_col), ts_col,
+                feats.column(ts_col).cast(pa.timestamp("ns")),
+            )
+            order = [(e, "ascending"), (ts_col, "ascending")] + [
+                (c, "ascending") for c in tiebreaks
+            ]
+            feats = feats.sort_by(order).combine_chunks()
+            fent = np.asarray(feats.column(e).to_pylist(), dtype=object)
+            fts = feats.column(ts_col).to_numpy(zero_copy_only=False)
+            # one binary search per point: entity run bounds, then the
+            # rightmost ts <= point within the run
+            idx: list[int | None] = []
+            for pe, pt in points:
+                pt64 = np.datetime64(pt, "ns")
+                lo = np.searchsorted(fent, pe, "left")
+                hi = np.searchsorted(fent, pe, "right")
+                if lo == hi:
+                    idx.append(None)
+                    continue
+                j = int(np.searchsorted(fts[lo:hi], pt64, "right")) - 1
+                idx.append(lo + j if j >= 0 else None)
+            matched = feats.take(pa.array(idx, pa.int64()))  # null idx -> null row
+            cols = {
+                "req_idx": pa.array(range(len(points)), pa.int64()),
+                e: pa.array([p[0] for p in points], feats.schema.field(e).type),
+                ts_col: pa.array(
+                    [np.datetime64(p[1], "ns") for p in points], pa.timestamp("ns")
+                ),
+            }
+            for c in feats.column_names:
+                if c != e:
+                    cols[f"f_{c}"] = matched.column(c)
+            out = pa.table(cols)
+            ctx.rows = out.num_rows
+            return out
 
     def get_feature_history(self, name: str, entity_id, start, end) -> pa.Table:
         """Inclusive-bounds history, newest first (reference
