@@ -195,3 +195,41 @@ def test_content_decoders_total_on_arbitrary_bytes(data):
         assert out is None or out.size >= 0
     out = decode_media_content(data)
     assert out is None or out[0] in ("image", "audio")
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_prefix_filter_lemma_admits_no_false_negatives(data):
+    """The All-Pairs prefix lemma behind dedup.prefix_filter_candidates,
+    fuzzed in pure python: for random gram-set corpora and thresholds,
+    every pair with jaccard >= t shares an element of both docs'
+    rarity-ordered prefixes of length |g| - ceil(t*|g|) + 1 and passes
+    the min >= t*max length filter — the candidate join can never drop
+    a qualifying pair."""
+    import math
+
+    n_docs = data.draw(st.integers(2, 8))
+    t = data.draw(st.floats(0.05, 0.95))
+    docs = [
+        frozenset(data.draw(st.sets(st.integers(0, 30), min_size=1, max_size=12)))
+        for _ in range(n_docs)
+    ]
+    freq = {}
+    for g in docs:
+        for x in g:
+            freq[x] = freq.get(x, 0) + 1
+    order = lambda x: (freq[x], x)  # noqa: E731 - global rarity order
+
+    def prefix(g):
+        plen = len(g) - math.ceil(t * len(g) - 1e-9) + 1
+        return set(sorted(g, key=order)[:plen])
+
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            a, b = docs[i], docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefix(a) & prefix(b), (
+                    f"lemma violated: jac={jac} t={t} a={sorted(a)} b={sorted(b)}"
+                )
+                assert min(len(a), len(b)) >= t * max(len(a), len(b)) - 1e-9
