@@ -502,6 +502,45 @@ def prefix_filter_candidates(
     )
 
 
+def gram_minhash_candidates(
+    grams: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over ALREADY-HASHED gram set arrays
+    (``(id, g array<long>)`` — e.g. winnow_fingerprint_set output): the
+    k signature values are ``array_min`` over affine rehashes of the
+    gram values — pure whole-stage codegen, no explode of the gram rows
+    (the per-seed lambda touches only its element and literal
+    coefficients, so the HOF re-evaluation trap does not apply) —
+    then banded through the same :func:`lsh_candidate_pairs` equi-join.
+
+    This is the scale candidate source for char-n-gram similarity:
+    char TRIGRAM spaces are inherently tiny (a few thousand distinct
+    values in real corpora), so prefix filtering degenerates — every
+    "rare" gram is still frequent (measured on a 30k-doc sparse corpus:
+    prefix 348 s, blocked brute 182 s, LSH seconds).  Approximate by
+    construction — recall at the threshold follows the standard
+    1-(1-j^r)^b curve — which is the standard trade every corpus-scale
+    near-dup system makes; exact verification still filters every
+    emitted pair."""
+    def _rehash(a, b):
+        # factory so the transform lambda has exactly ONE parameter
+        # (pyspark maps lambda arity onto the HOF's argument count)
+        return lambda x: (F.lit(a) * F.pmod(x, F.lit(MERSENNE31)) + F.lit(b)) % MERSENNE31
+
+    sigs = grams.where(F.size("g") > 0).select(  # empty docs pair with nothing
+        "id",
+        F.array(*[
+            F.array_min(F.transform("g", _rehash(a, b))).alias(f"__m{j}")
+            for j, (a, b) in enumerate(minhash_coeffs(k, seed))
+        ]).alias("sig"),
+    )
+    return lsh_candidate_pairs(sigs, bands, k // bands, max_bucket_size)
+
+
 def char_ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -527,29 +566,39 @@ def char_ngram_jaccard_pairs(
     (2^-60 per gram pair) are negligible and IDENTICAL in the DuckDB
     twin, so values still verify exactly.
 
-    Pair-space bounding — all three methods are OUTPUT-IDENTICAL (the
-    SQL oracle never changes), they differ only in plan shape:
+    Pair-space bounding — four methods, differing in plan shape and
+    (for 'lsh' only) in recall:
     - ``'auto'`` (default): ONE cheap count job measures the brute pair
       space (Σ per-block n²/2, or n²/2 unblocked); under
-      ``auto_pair_budget`` the vectorized blocked join wins (dense
-      corpora: on the test corpus 8.5% of ALL pairs are ≥0.6 near-dups
-      and "rare" grams are not rare, so prefix candidates exceed the
-      brute pair space — measured 29 s vs 8.7 s at sf0.1); above it the
-      quadratic join is the scale-killer and 'prefix' is chosen.  Same
-      estimate-gated-adaptivity pattern as text.balance_small_input.
+      ``auto_pair_budget`` the vectorized blocked join wins — EXACT —
+      (dense corpora: on the test corpus 8.5% of ALL pairs are ≥0.6
+      near-dups, so candidate generation cannot beat 8.7 s of brute
+      intersects at sf0.1); above it the quadratic join is the
+      scale-killer and 'lsh' is chosen.  Same estimate-gated-adaptivity
+      pattern as text.balance_small_input.
+    - ``'lsh'``: MinHash-LSH candidates over the gram arrays
+      (:func:`gram_minhash_candidates`) — linear, equi-join shaped, the
+      100 TB path; APPROXIMATE (standard 1-(1-j^r)^b recall at the
+      threshold; every emitted pair is still exactly verified, so
+      precision is exact).
     - ``'prefix'``: exact All-Pairs prefix-filter candidates
-      (:func:`prefix_filter_candidates`) + length filter — equi-join
-      shaped, linear-ish, the 100 TB path.
+      (:func:`prefix_filter_candidates`) + length filter.  Exact and
+      equi-join shaped, but ONLY effective when the gram space is
+      diverse (large n, varied text); char-trigram spaces are tiny, so
+      "rarity" does not discriminate — measured 348 s vs 182 s brute on
+      a 30k-doc sparse corpus — hence not the auto fallback.
     - ``'block'``: plain blocked/cross join, for tiny inputs and
       differential tests.
     Explicit ``candidates`` skips generation; ``block_col`` composes
-    with every method."""
+    with every method (LSH candidates are block-filtered at the verify
+    join)."""
     from featherstore_spark.functions.text import balance_small_input, winnow_fingerprint_set
 
+    blk = [block_col] if block_col else []
     grams = balance_small_input(df).select(
         F.col(id_col).alias("id"),
         winnow_fingerprint_set(text_col, k=n, w=1).alias("g"),
-        *([block_col] if block_col else []),
+        *blk,
     )
     if candidates is None and method == "auto":
         if block_col:
@@ -558,18 +607,31 @@ def char_ngram_jaccard_pairs(
         else:
             counts = [df.count()]
         brute_pairs = sum(c * c for c in counts) // 2
-        method = "block" if brute_pairs <= auto_pair_budget else "prefix"
-    if candidates is None and method == "prefix":
+        method = "block" if brute_pairs <= auto_pair_budget else "lsh"
+    block_filter_needed = False
+    if candidates is None and method in ("prefix", "lsh"):
         # evaluate the gram UDF once: candidates AND both verify sides
         # read the checkpointed rows (same discipline as winnow pairs)
         grams = grams.localCheckpoint(eager=True)
-        candidates = prefix_filter_candidates(grams, threshold, block_col)
+        if method == "prefix":
+            candidates = prefix_filter_candidates(grams, threshold, block_col)
+        else:
+            candidates = gram_minhash_candidates(grams)
+            block_filter_needed = block_col is not None
     if candidates is not None:
-        pairs = (
-            candidates.select("id_a", "id_b")
-            .join(grams.select(F.col("id").alias("id_a"), F.col("g").alias("g_a")), "id_a")
-            .join(grams.select(F.col("id").alias("id_b"), F.col("g").alias("g_b")), "id_b")
+        ga = grams.select(
+            F.col("id").alias("id_a"), F.col("g").alias("g_a"),
+            *([F.col(block_col).alias("__blk_a")] if block_filter_needed else []),
         )
+        gb = grams.select(
+            F.col("id").alias("id_b"), F.col("g").alias("g_b"),
+            *([F.col(block_col).alias("__blk_b")] if block_filter_needed else []),
+        )
+        pairs = candidates.select("id_a", "id_b").join(ga, "id_a").join(gb, "id_b")
+        if block_filter_needed:
+            pairs = pairs.where(
+                F.col("__blk_a").eqNullSafe(F.col("__blk_b"))
+            ).drop("__blk_a", "__blk_b")
     else:
         left = grams.select(
             F.col("id").alias("id_a"), F.col("g").alias("g_a"),

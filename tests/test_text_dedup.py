@@ -525,8 +525,11 @@ def test_char_ngram_prefix_filter_exactly_matches_bruteforce(spark, documents):
 
 def test_char_ngram_auto_method_selection(spark, documents):
     """'auto' measures the brute pair space with one count job and
-    switches to the prefix-filter plan above the budget — outputs
-    identical either side of the cut."""
+    switches to the LSH-candidate plan above the budget: no cross join,
+    exact precision (every emitted pair verified, values identical to
+    brute), and complete recall of high-similarity pairs — the standard
+    LSH contract (borderline-threshold pairs may be missed; brute
+    remains exact under the budget)."""
     from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
 
     docs = documents.where(F.col("doc_id") < 40)
@@ -534,14 +537,40 @@ def test_char_ngram_auto_method_selection(spark, documents):
     hi = char_ngram_jaccard_pairs(docs, threshold=0.5, auto_pair_budget=10**9)
     lo_plan = lo._jdf.queryExecution().executedPlan().toString()
     hi_plan = hi._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in lo_plan          # prefix path chosen
+    assert "CartesianProduct" not in lo_plan          # LSH path chosen
     assert "ExistingRDD" in lo_plan                   # checkpointed grams
     # brute path (unblocked): a cross join — CartesianProduct, or BNLJ
     # when AQE broadcasts the small side
     assert "CartesianProduct" in hi_plan or "BroadcastNestedLoopJoin" in hi_plan
     a = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lo.collect()}
     b = {(r["id_a"], r["id_b"]): r["jaccard"] for r in hi.collect()}
-    assert a == b
+    assert set(a) <= set(b)                           # exact precision
+    for pair, jac in a.items():
+        assert jac == b[pair]                         # identical values
+    high = {p for p, j in b.items() if j >= 0.9}
+    assert high <= set(a)                             # high-sim recall complete
+
+
+def test_char_ngram_lsh_recalls_planted_near_dups(spark, documents):
+    """The LSH scale path recalls planted high-similarity near-dups
+    across blocks and emits no unverified pair (measured r5: 16.5 s vs
+    182 s blocked brute on a 30k-doc sparse corpus)."""
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    base = documents.where(F.col("doc_id") < 80)
+    dups = base.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 300_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        *[c for c in base.columns if c not in ("doc_id", "text")],
+    )
+    corpus = base.unionByName(dups.select(base.columns))
+    got = char_ngram_jaccard_pairs(
+        corpus, n=3, threshold=0.8, block_col="lang", method="lsh"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+    planted = {(i, i + 300_000) for i in range(20)}
+    assert planted <= set(pairs)
+    assert all(j >= 0.8 for j in pairs.values())
 
 
 def test_connected_components_checkpoint_constraint_shape(spark):
