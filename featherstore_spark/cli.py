@@ -35,7 +35,16 @@ def _build_parser(cfg: dict) -> argparse.ArgumentParser:
                    help="YAML deployment profile (see featherstore_spark/config.py)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    m = sub.add_parser("materialize", help="materialize per-turn features")
+    def add_parser(name, **kw):
+        # --config is pre-scanned position-independently (it must seed
+        # THIS parse's defaults), so every subparser must also accept it
+        # — otherwise `materialize ... --config x.yaml` would load the
+        # file and then die on 'unrecognized arguments' (r5 review)
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("--config", default=None, help=argparse.SUPPRESS)
+        return sp
+
+    m = add_parser("materialize", help="materialize per-turn features")
     m.add_argument("--input", required=True, help="transcript table path (parquet)")
     m.add_argument("--output", required=True, help="feature table output path")
     m.add_argument("--spine", help="optional spine table path -> point-in-time vectors")
@@ -55,14 +64,14 @@ def _build_parser(cfg: dict) -> argparse.ArgumentParser:
                    help="manifest directory (required with --format iceberg, where "
                         "--output is a table identifier)")
 
-    g = sub.add_parser("generate", help="generate a synthetic transcript corpus")
+    g = add_parser("generate", help="generate a synthetic transcript corpus")
     g.add_argument("--output", required=True)
     g.add_argument("--n-convs", type=int, default=2000)
     g.add_argument("--mean-turns", type=int, default=30)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--skew", action="store_true")
 
-    s = sub.add_parser("serve", help="serve feature sets over Arrow Flight + HTTP")
+    s = add_parser("serve", help="serve feature sets over Arrow Flight + HTTP")
     s.add_argument("--root", default=serve_cfg["root"], help="catalog root directory")
     s.add_argument("--http-port", type=int, default=serve_cfg["http_port"])
     s.add_argument("--flight-port", type=int, default=serve_cfg["flight_port"])

@@ -124,6 +124,14 @@ def _parse_pnm(b: bytes | None):
 #: palette (1 index/px), gray+alpha, RGBA.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Content-tier allocation guard (r5 review): decoded output is bounded
+#: by header-DECLARED dims, which a corrupt/crafted file controls — a
+#: 100-byte JPEG claiming 65535x65535 would otherwise allocate ~34 GB of
+#: coefficient planes before any entropy byte is read.  Payloads
+#: declaring more samples than this cap decode to None like any other
+#: malformed file; raise it for genuine >64-megapixel corpora.
+MAX_DECODE_PIXELS = 64_000_000
+
 
 def parse_png_header(b: bytes | None) -> tuple[int, int, int] | None:
     """REAL image decode for PNG payloads (VERDICT r4 next-round #5):
@@ -264,6 +272,8 @@ def decode_png_pixels(b: bytes | None):
     if hdr is None:
         return None
     w, h, channels = hdr
+    if w * h * channels > MAX_DECODE_PIXELS:
+        return None
     bit_depth, color_type = b[24], b[25]
     if bit_depth != 8 or b[28] != 0:  # interlaced / non-8-bit: unsupported
         return None
@@ -283,13 +293,16 @@ def decode_png_pixels(b: bytes | None):
         i += 8 + length + 4
     if not idat:
         return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
     bpp = channels
     stride = w * bpp
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    try:
+        # bounded inflate: a zlib bomb cannot expand past the declared
+        # (already capped) image size + 1 sentinel byte
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expected:
         return None
     recon = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
@@ -479,6 +492,8 @@ def decode_gif_pixels(b: bytes | None):
                 pal = np.frombuffer(b, np.uint8, n, offset=i).reshape(-1, 3)
                 i += n
             if pal is None or w == 0 or h == 0 or i >= len(b):
+                return None
+            if w * h > MAX_DECODE_PIXELS:
                 return None
             mcs = b[i]
             i += 1
@@ -702,7 +717,7 @@ def decode_jpeg_pixels(b: bytes | None):
                 )
             i += 2 + seglen
         return None
-    except (struct.error, IndexError, KeyError, ValueError):
+    except (struct.error, IndexError, KeyError, ValueError, MemoryError):
         return None
 
 
@@ -714,6 +729,11 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    total_samples = sum(
+        (mcuy * vs * 8) * (mcux * hs * 8) for _cid, hs, vs, _tq in comps
+    )
+    if total_samples > MAX_DECODE_PIXELS:
+        return None  # header-declared dims bound every allocation below
     # per-component coefficient planes (in blocks)
     planes = {}
     for cid, hs, vs, tq in comps:
@@ -793,28 +813,39 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
 def decode_wav_samples(b: bytes | None):
     """PCM sample decode for 8/16-bit RIFF/WAVE payloads: one
     ``np.frombuffer`` over the data chunk → (n_frames, channels)
-    float64 in [-1, 1]."""
+    float64 in [-1, 1].  The chunk re-walk applies the SAME guards as
+    parse_wav_header (csize ≥ 16 + in-bounds fmt reads — r5 review: a
+    trailing truncated ``fmt `` chunk passed the header parse but
+    crashed the unguarded re-walk), and any residual malformed-structure
+    error degrades to None, never a task failure."""
     import struct
 
     if parse_wav_header(b) is None:
         return None
-    i, bits, data = 12, None, None
-    while i + 8 <= len(b):
-        cid = b[i:i + 4]
-        (csize,) = struct.unpack_from("<I", b, i + 4)
-        if cid == b"fmt ":
-            (bits,) = struct.unpack_from("<H", b, i + 8 + 14)
-            (channels,) = struct.unpack_from("<H", b, i + 8 + 2)
-        elif cid == b"data":
-            data = b[i + 8:i + 8 + csize]
-        i += 8 + csize + (csize & 1)
-    if bits == 16:
-        s = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
-    elif bits == 8:
-        s = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
-    else:
+    try:
+        i, bits, channels, data = 12, None, None, None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            (csize,) = struct.unpack_from("<I", b, i + 4)
+            if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= len(b):
+                (channels,) = struct.unpack_from("<H", b, i + 8 + 2)
+                (bits,) = struct.unpack_from("<H", b, i + 8 + 14)
+            elif cid == b"data":
+                data = b[i + 8:i + 8 + csize]
+            i += 8 + csize + (csize & 1)
+        if not channels or data is None:
+            return None
+        if bits == 16:
+            s = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+        elif bits == 8:
+            s = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            return None
+        if s.size % channels:
+            return None
+        return s.reshape(-1, channels)
+    except (struct.error, ValueError):
         return None
-    return s.reshape(-1, channels)
 
 
 def parse_wav_header(b: bytes | None) -> tuple[int, int, int] | None:

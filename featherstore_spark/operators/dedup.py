@@ -502,6 +502,19 @@ def prefix_filter_candidates(
     )
 
 
+def lsh_bands_for_threshold(threshold: float, k: int = 32) -> int:
+    """Band count chosen so the banding recall ``1-(1-t^r)^b`` AT the
+    verify threshold itself is ≥ 0.97 (r5 review: fixed r=4 banding gave
+    ~67% recall AT a 0.6 threshold — params must follow the threshold).
+    Largest rows-per-band meeting the target wins (fewest candidates);
+    r=1 is the maximal-recall fallback for low thresholds."""
+    for r in (8, 4, 2):
+        b = k // r
+        if 1 - (1 - threshold**r) ** b >= 0.97:
+            return b
+    return k  # r=1
+
+
 def gram_minhash_candidates(
     grams: DataFrame,
     k: int = 32,
@@ -600,6 +613,12 @@ def char_ngram_jaccard_pairs(
         winnow_fingerprint_set(text_col, k=n, w=1).alias("g"),
         *blk,
     )
+    if method not in ("auto", "lsh", "prefix", "block"):
+        raise ValueError(
+            f"unknown char_ngram_jaccard_pairs method {method!r}: expected "
+            "'auto', 'lsh', 'prefix', or 'block' (a typo would silently "
+            "fall through to the quadratic brute join)"
+        )
     if candidates is None and method == "auto":
         if block_col:
             counts = [r["c"] for r in df.groupBy(block_col).agg(
@@ -607,7 +626,21 @@ def char_ngram_jaccard_pairs(
         else:
             counts = [df.count()]
         brute_pairs = sum(c * c for c in counts) // 2
-        method = "block" if brute_pairs <= auto_pair_budget else "lsh"
+        if brute_pairs <= auto_pair_budget:
+            method = "block"
+        else:
+            import warnings
+
+            warnings.warn(
+                f"char_ngram_jaccard_pairs: brute pair space ({brute_pairs:,}) "
+                f"exceeds auto_pair_budget ({auto_pair_budget:,}); switching to "
+                "APPROXIMATE MinHash-LSH candidates (threshold-adaptive banding, "
+                "recall ~0.97+ at the threshold, exact precision). Pass "
+                "method='block' to force the exact quadratic join, or "
+                "candidates=<pairs> to supply your own.",
+                stacklevel=2,
+            )
+            method = "lsh"
     block_filter_needed = False
     if candidates is None and method in ("prefix", "lsh"):
         # evaluate the gram UDF once: candidates AND both verify sides
@@ -616,7 +649,9 @@ def char_ngram_jaccard_pairs(
         if method == "prefix":
             candidates = prefix_filter_candidates(grams, threshold, block_col)
         else:
-            candidates = gram_minhash_candidates(grams)
+            candidates = gram_minhash_candidates(
+                grams, bands=lsh_bands_for_threshold(threshold)
+            )
             block_filter_needed = block_col is not None
     if candidates is not None:
         ga = grams.select(

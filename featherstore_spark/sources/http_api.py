@@ -121,9 +121,18 @@ class _Handler(BaseHTTPRequestHandler):
                         400,
                         {"error": "body must be {\"points\": [[entity_id, ts], ...]}"},
                     )
-                t = self.store.get_features_at(
-                    parts[1], [(p[0], _parse_ts(p[1])) for p in pts]
-                )
+                # malformed timestamps and null entities are CLIENT
+                # errors: 400, never a ValueError-turned-500 (the same
+                # contract the GET /history fix established)
+                try:
+                    parsed = [(p[0], _parse_ts(p[1])) for p in pts]
+                except ValueError as ex:
+                    return self._send(400, {"error": f"unparseable ts: {ex}"})
+                try:
+                    t = self.store.get_features_at(parts[1], parsed)
+                except ServingError as ex:
+                    code = 404 if "does not exist" in str(ex) else 400
+                    return self._send(code, {"error": str(ex)})
                 return self._send(200, _rows(t))
             return self._send(404, {"error": "no route"})
         except ServingError as e:

@@ -99,3 +99,17 @@ def test_cli_serve_starts_both_transports(tmp_path):
     finally:
         hsrv.shutdown()
         fsrv.shutdown()
+
+
+def test_cli_config_accepted_after_subcommand(tmp_path):
+    """r5 review: --config is pre-scanned position-independently, so the
+    subparsers must accept it too — `materialize ... --config x.yaml`
+    must parse, not die on 'unrecognized arguments'."""
+    from featherstore_spark.cli import _build_parser, _scan_config_path
+
+    p = tmp_path / "e.yaml"
+    p.write_text("pipeline:\n  n_buckets: 256\n")
+    argv = ["materialize", "--input", "a", "--output", "b", "--config", str(p)]
+    cfg = load_config(_scan_config_path(argv), env={})
+    args = _build_parser(cfg).parse_args(argv)
+    assert args.n_buckets == 256

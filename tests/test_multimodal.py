@@ -524,3 +524,58 @@ def test_jpeg_pixel_decode_baseline():
     assert decode_jpeg_pixels(encode(rgb)[: len(encode(rgb)) // 3]) is None
     kind, px = decode_media_content(encode(rgb))
     assert kind == "image" and px.shape == (21, 30, 3)
+
+
+def test_wav_decode_totality_on_trailing_truncated_chunk():
+    """r5 review: a WAV whose trailing 'fmt ' chunk is truncated passes
+    parse_wav_header (which skips csize<16 fmt chunks) but crashed the
+    unguarded sample-decode re-walk; both must now agree — decode
+    returns the samples or None, never raises."""
+    import numpy as np
+    import struct
+
+    from featherstore_spark.functions.multimodal import (
+        decode_wav_samples,
+        parse_wav_header,
+    )
+
+    s16 = np.arange(20, dtype=np.int16)
+    good = _wav_encode(10, 16000, 2, 16, s16.tobytes())
+    evil = good + b"fmt " + struct.pack("<I", 0)  # truncated trailing fmt
+    assert parse_wav_header(evil) is not None
+    out = decode_wav_samples(evil)  # must not raise
+    assert out is None or out.shape == (10, 2)
+
+
+def test_crafted_huge_dims_decode_to_none_not_oom():
+    """r5 review: header-declared dims bound every allocation — a tiny
+    payload claiming 65535x65535 must decode to None instantly, not
+    allocate gigabytes (MAX_DECODE_PIXELS guard)."""
+    import struct
+
+    from featherstore_spark.functions.multimodal import (
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+    )
+
+    sof = (b"\xFF\xC0" + struct.pack(">H", 8 + 9)
+           + struct.pack(">BHHB", 8, 65535, 65535, 3) + bytes(9))
+    dht = (b"\xFF\xC4" + struct.pack(">H", 20) + bytes([0])
+           + bytes([0] * 15 + [1]) + bytes([0]))
+    dqt = b"\xFF\xDB" + struct.pack(">H", 67) + bytes(65)
+    sos = (b"\xFF\xDA" + struct.pack(">H", 8)
+           + bytes([3, 1, 0, 2, 0, 3, 0]) + b"\x00\x3F\x00")
+    assert decode_jpeg_pixels(b"\xFF\xD8" + dqt + dht + sof + sos + b"\x00" * 10) is None
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0) + b"\x00" * 4)
+    import zlib
+    png += (struct.pack(">I", 20) + b"IDAT" + zlib.compress(b"\x00" * 100)[:20]
+            + b"\x00" * 4 + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4)
+    assert decode_png_pixels(png) is None
+
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0) + bytes(6)
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+           + b"\x08" + b"\x01\x00" + b"\x00\x3B")
+    assert decode_gif_pixels(gif) is None

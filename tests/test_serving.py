@@ -633,3 +633,60 @@ def test_http_features_at_matches_flight_points(served):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_http_features_at_client_errors_are_400(served):
+    """r5 review: malformed timestamps and null entities in POST
+    /features-at are CLIENT errors (400), not ValueError/ArrowTypeError
+    500s."""
+    from featherstore_spark.sources.http_api import start_in_thread
+
+    srv, _t = start_in_thread(served["root"])
+    port = srv.server_address[1]
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features-at/convfeat",
+            data=json.dumps(payload).encode(), method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            return 200
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    try:
+        assert post({"points": [["conv_1", "not-a-date"]]}) == 400
+        assert post({"points": [[None, "2026-01-01T00:00:00"]]}) == 400
+        assert post({"points": "nope"}) == 400
+    finally:
+        srv.shutdown()
+
+
+def test_bucketed_registration_rebinds_all_read_paths(spark, transcripts, tmp_path):
+    """r5 review: when a name has BOTH catalog data and a bucketed
+    registration, every read path must serve the SAME table (the
+    bucketed one) — entity-filtered and unfiltered answers cannot come
+    from different datasets."""
+    from featherstore_spark.plans.checkpoint import run_with_checkpoint
+    from featherstore_spark.sources.serving import ServingStore
+
+    out = str(tmp_path / "feat")
+    run_with_checkpoint(
+        transcripts, out, {"input": "rebind", "params": {"n_buckets": 8}}, n_buckets=8
+    )
+    store = ServingStore(str(tmp_path / "root"))
+    store.create_feature_set(
+        "dual", {"schema": SCHEMA.jsonValue(), "entity_col": "conv_id", "ts_col": "ts"}
+    )
+    base = datetime.datetime(2030, 1, 1)
+    store.append_batch("dual", _batch([("other_conv", base, 0, 1.0)]))
+    store.register_bucketed_table("dual", out)
+    unfiltered = store.get_features("dual")
+    ent = transcripts.select("conv_id").distinct().limit(1).collect()[0][0]
+    filtered = store.get_features("dual", entity_ids=[ent])
+    # both answers come from the bucketed table: the catalog-only row is
+    # invisible, the checkpoint entity is served on both paths
+    assert "other_conv" not in unfiltered.column("conv_id").to_pylist()
+    assert filtered.num_rows == 1
+    assert "p_bucket" not in unfiltered.column_names

@@ -593,3 +593,27 @@ def test_connected_components_checkpoint_constraint_shape(spark):
     agg = {r["group_id"]: r["count"] for r in labels.groupBy("group_id").count().collect()}
     assert agg.get(0) == 500  # the chain collapsed to its minimum
     assert stats["rounds"] <= 12
+
+
+def test_char_ngram_rejects_unknown_method(spark, documents):
+    """r5 review: a typo'd method must error loudly, never silently fall
+    through to the quadratic brute join."""
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="unknown char_ngram"):
+        char_ngram_jaccard_pairs(documents, method="minhash")
+
+
+def test_lsh_bands_follow_threshold():
+    """r5 review: fixed banding gave ~67% recall AT a 0.6 threshold —
+    the band count must adapt so the S-curve knee sits below the
+    threshold (recall >= ~0.97 at the threshold itself)."""
+    from featherstore_spark.operators.dedup import lsh_bands_for_threshold
+
+    for t in (0.4, 0.5, 0.6, 0.8, 0.95):
+        b = lsh_bands_for_threshold(t)
+        r = 32 // b
+        recall_at_t = 1 - (1 - t**r) ** b
+        assert recall_at_t >= 0.97, (t, b, recall_at_t)
+    assert lsh_bands_for_threshold(0.1) == 32  # r=1 maximal-recall fallback
+    assert lsh_bands_for_threshold(0.95) < lsh_bands_for_threshold(0.5)
