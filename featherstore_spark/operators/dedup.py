@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from featherstore_spark.functions.hashing import MERSENNE31, md5_long60, minhash_coeffs
@@ -95,6 +95,34 @@ def with_token_set(df: DataFrame, text_col: str = "text", out_col: str = "tok") 
     )
 
 
+def _set_jaccard(a: str, b: str) -> Column:
+    """Rounded (6 dp) Jaccard of two SET-semantic array columns (distinct
+    elements, no NULL members — with_token_set / winnow_fingerprint_set
+    both guarantee this).  |A∪B| comes from |A|+|B|−|A∩B| instead of
+    materializing ``array_union``: on the verify join — the dominant cost
+    of every exact near-dup kernel — building the union array per pair
+    only to take its size doubles the per-pair work and allocation.
+    NULL arrays keep the legacy 0.0 (``size`` = −1 guard), matching the
+    old ``size(array_union)`` path bit-for-bit.
+
+    The branch guard is O(1) ON PURPOSE: for non-null sets
+    ``|A∪B| > 0 ⟺ |A|+|B| > 0``, so the CASE condition touches only
+    ``size`` calls and the single ``array_intersect`` lives in the
+    branch.  Spelling the guard as ``sa+sb−inter > 0`` instead measured
+    ~13% SLOWER than even the array_union form on the char-n-gram
+    verify join: codegen's conditional subexpression elimination does
+    not reuse a condition-side intersect inside the branch, so the
+    intersect ran twice.  Inside the branch the denominator is safe:
+    inter ≤ min(sa,sb) ⇒ sa+sb−inter ≥ max(sa,sb) > 0."""
+    sa, sb = F.size(a), F.size(b)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = sa.cast("double") + sb.cast("double") - inter
+    return F.round(
+        F.when((sa >= 0) & (sb >= 0) & (sa + sb > 0), inter / union).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -139,11 +167,8 @@ def jaccard_pairs(
             if block_col
             else left.crossJoin(right).where(cond)
         )
-    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-    union = F.size(F.array_union("tok_a", "tok_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", _set_jaccard("tok_a", "tok_b"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -272,11 +297,8 @@ def minhash_near_duplicates(
         cands.join(toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
         .join(toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-    union = F.size(F.array_union("tok_a", "tok_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", _set_jaccard("tok_a", "tok_b"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -682,11 +704,8 @@ def char_ngram_jaccard_pairs(
             if block_col
             else left.crossJoin(right).where(cond)
         )
-    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
-    union = F.size(F.array_union("g_a", "g_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", _set_jaccard("g_a", "g_b"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
