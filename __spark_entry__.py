@@ -428,6 +428,17 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 table A1, adapted):
+    duplicate-line fractions + top/duplicated word-n-gram char fractions
+    per document — the repetition dimension of corpus quality scoring
+    that length/punctuation heuristics (q_text_stats) cannot see."""
+    from featherstore_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", top_n=2, dup_n=3)
+
+
 def q_lang_id(spark, sf_dir):
     from featherstore_spark.functions.text import lang_id
 
@@ -680,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_entities": q_intersect_entities,
         # training-data ops
         "text_stats": q_text_stats,
+        "gopher_repetition": q_gopher_repetition,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -894,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
         "text_stats": _TEXT_STATS_ORACLE,
+        "gopher_repetition": _GOPHER_REPETITION_ORACLE,
         "lang_id": _LANG_ORACLE,
         "exact_dedup": r"""
             SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
@@ -1084,6 +1097,74 @@ _TEXT_STATS_ORACLE_TEMPLATE = r"""
                 ELSE 0 END, 6) AS punct_ratio,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
     FROM d
+"""
+
+
+_GOPHER_REPETITION_ORACLE = r"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    ln0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+    ln AS (SELECT doc_id, line FROM ln0 WHERE trim(line) <> ''),
+    lc AS (SELECT doc_id, line, COUNT(*) AS c FROM ln GROUP BY 1, 2),
+    la AS (
+      SELECT doc_id,
+             SUM(c)::BIGINT AS n_lines,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_lines,
+             SUM(c * length(line))::BIGINT AS line_chars,
+             SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::BIGINT AS dup_line_chars
+      FROM lc GROUP BY 1
+    ),
+    tk AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x))
+             END AS tokl
+      FROM d
+    ),
+    gr AS (
+      SELECT doc_id, 'top' AS which,
+             unnest(list_transform(range(1, len(tokl)), i -> tokl[i] || ' ' || tokl[i+1])) AS g
+      FROM tk
+      UNION ALL
+      SELECT doc_id, 'dup' AS which,
+             unnest(list_transform(range(1, len(tokl) - 1),
+                                   i -> tokl[i] || ' ' || tokl[i+1] || ' ' || tokl[i+2])) AS g
+      FROM tk
+    ),
+    gc AS (SELECT doc_id, which, g, COUNT(*) AS c FROM gr GROUP BY 1, 2, 3),
+    tmc AS (SELECT doc_id, MAX(c) AS mc FROM gc WHERE which = 'top'
+            GROUP BY 1 HAVING MAX(c) > 1),
+    tnum AS (
+      -- ties on count resolve to the longest gram: max(c*len) at c = max(c)
+      -- == the engine's lexicographic struct-max (count, count*len)
+      SELECT gc.doc_id, MAX(gc.c * length(gc.g))::BIGINT AS top_cl
+      FROM gc JOIN tmc USING (doc_id)
+      WHERE gc.which = 'top' AND gc.c = tmc.mc
+      GROUP BY 1
+    ),
+    ga AS (
+      SELECT doc_id,
+             SUM(CASE WHEN which = 'top' THEN c * length(g) ELSE 0 END)::BIGINT AS top_chars,
+             SUM(CASE WHEN which = 'dup' AND c > 1 THEN c * length(g) ELSE 0 END)::BIGINT AS dup_gram_chars,
+             SUM(CASE WHEN which = 'dup' THEN c * length(g) ELSE 0 END)::BIGINT AS gram_chars
+      FROM gc GROUP BY 1
+    ),
+    f AS (
+      SELECT d.doc_id,
+             COALESCE(la.n_lines, 0)::BIGINT AS n_lines,
+             ROUND(CASE WHEN COALESCE(la.n_lines, 0) > 0
+                   THEN COALESCE(la.dup_lines, 0)::DOUBLE / la.n_lines ELSE 0.0 END, 6) AS dup_line_frac,
+             ROUND(CASE WHEN COALESCE(la.line_chars, 0) > 0
+                   THEN COALESCE(la.dup_line_chars, 0)::DOUBLE / la.line_chars ELSE 0.0 END, 6) AS dup_line_char_frac,
+             ROUND(CASE WHEN COALESCE(ga.top_chars, 0) > 0
+                   THEN COALESCE(tnum.top_cl, 0)::DOUBLE / ga.top_chars ELSE 0.0 END, 6) AS top_ngram_char_frac,
+             ROUND(CASE WHEN COALESCE(ga.gram_chars, 0) > 0
+                   THEN COALESCE(ga.dup_gram_chars, 0)::DOUBLE / ga.gram_chars ELSE 0.0 END, 6) AS dup_ngram_char_frac
+      FROM d LEFT JOIN la USING (doc_id) LEFT JOIN ga USING (doc_id) LEFT JOIN tnum USING (doc_id)
+    )
+    SELECT *,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND top_ngram_char_frac <= 0.20 AND dup_ngram_char_frac <= 0.30) AS repetition_ok
+    FROM f
 """
 
 

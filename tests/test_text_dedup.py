@@ -617,3 +617,53 @@ def test_lsh_bands_follow_threshold():
         assert recall_at_t >= 0.97, (t, b, recall_at_t)
     assert lsh_bands_for_threshold(0.1) == 32  # r=1 maximal-recall fallback
     assert lsh_bands_for_threshold(0.95) < lsh_bands_for_threshold(0.5)
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition filters on a hand-built corpus — every fraction
+    checked against a by-hand derivation (top_n=2, dup_n=3)."""
+    from featherstore_spark.functions.text import repetition_stats
+
+    rows = [
+        # 3 lines, "a b" twice: dup_line 2/3; line chars 9, dup 6.
+        # 2-grams: "a b"x2 (cl 6), "b a", "b c", "c d" -> top 6/15.
+        # 3-grams all unique -> dup3 0.
+        (1, "a b\na b\nc d"),
+        # one line; 2-grams "x y"x3 (cl 9), "y x"x2 (cl 6) -> top 9/15.
+        # 3-grams "x y x"x2, "y x y"x2 -> all duplicated -> dup3 1.0.
+        (2, "x y x y x y"),
+        # single 2-gram occurring ONCE: not repetition -> top 0.0.
+        (3, "hello world"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_lines": 3,
+        "dup_line_frac": 0.666667, "dup_line_char_frac": 0.666667,
+        "top_ngram_char_frac": 0.4, "dup_ngram_char_frac": 0.0,
+        "repetition_ok": False,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_lines": 1,
+        "dup_line_frac": 0.0, "dup_line_char_frac": 0.0,
+        "top_ngram_char_frac": 0.6, "dup_ngram_char_frac": 1.0,
+        "repetition_ok": False,
+    }
+    assert got[3] == {
+        "doc_id": 3, "n_lines": 1,
+        "dup_line_frac": 0.0, "dup_line_char_frac": 0.0,
+        "top_ngram_char_frac": 0.0, "dup_ngram_char_frac": 0.0,
+        "repetition_ok": True,
+    }
+    for null_doc in (4, 5):
+        assert got[null_doc] == {
+            "doc_id": null_doc, "n_lines": 0,
+            "dup_line_frac": 0.0, "dup_line_char_frac": 0.0,
+            "top_ngram_char_frac": 0.0, "dup_ngram_char_frac": 0.0,
+            "repetition_ok": True,
+        }
