@@ -439,6 +439,44 @@ def q_gopher_repetition(spark, sf_dir):
     return repetition_stats(docs, "doc_id", "text", top_n=2, dup_n=3)
 
 
+def q_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, adapted): keep
+    ≥5-word terminal-punctuated lines, drop javascript lines, flag docs
+    hitting the boilerplate blocklist or left with <3 lines."""
+    from featherstore_spark.functions.text import c4_line_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_line_clean(docs, "doc_id", "text")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixing sample: per-language keep rates over a
+    pure (doc_id, seed) md5 coin — the same rows on every run, every
+    partitioning, and in the DuckDB twin."""
+    from featherstore_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, SAMPLE_RATES, key_col="doc_id", strata_col="lang", seed=42
+    ).select("doc_id", "lang")
+
+
+def q_dataset_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment by md5 hash range — a key
+    lands in the same split across corpus versions by construction."""
+    from featherstore_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(
+        docs, key_col="doc_id", weights=SPLIT_WEIGHTS, names=SPLIT_NAMES, seed=7
+    ).select("doc_id", "split")
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625}
+SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
+SPLIT_NAMES = ("train", "val", "test")
+
+
 def q_lang_id(spark, sf_dir):
     from featherstore_spark.functions.text import lang_id
 
@@ -692,6 +730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "text_stats": q_text_stats,
         "gopher_repetition": q_gopher_repetition,
+        "c4_line_clean": q_c4_line_clean,
+        "stratified_sample": q_stratified_sample,
+        "dataset_split": q_dataset_split,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -907,6 +948,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _TEXT_STATS_ORACLE,
         "gopher_repetition": _GOPHER_REPETITION_ORACLE,
+        "c4_line_clean": _C4_LINE_CLEAN_ORACLE,
+        "stratified_sample": _SAMPLING_ORACLES["stratified_sample"],
+        "dataset_split": _SAMPLING_ORACLES["dataset_split"],
         "lang_id": _LANG_ORACLE,
         "exact_dedup": r"""
             SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
@@ -1098,6 +1142,67 @@ _TEXT_STATS_ORACLE_TEMPLATE = r"""
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
     FROM d
 """
+
+
+_C4_LINE_CLEAN_ORACLE = r"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    k AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+                 l -> trim(l) <> ''
+                      AND len(string_split_regex(trim(l), '\s+')) >= 5
+                      AND substring(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+                      AND NOT contains(lower(l), 'javascript')) AS kept,
+             len(string_split(text, chr(10)))::BIGINT AS n_lines
+      FROM d
+    )
+    SELECT doc_id,
+           -- array_to_string([]) is NULL in DuckDB; the engine's
+           -- array_join([]) is '' — pin the empty-doc case to ''
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           n_lines,
+           len(kept)::BIGINT AS n_kept,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(lower(text), '{')
+            AND len(kept) >= 3) AS c4_keep
+    FROM k
+"""
+
+
+def _build_sampling_oracles() -> dict[str, str]:
+    """SQL twins of the hash-sampling queries: identical integer
+    thresholds (computed once in Python) against the identical
+    ``md5_long60`` coin, so engine and oracle compare bit-equal longs."""
+    from featherstore_spark.operators.sampling import _threshold
+
+    coin = "('0x' || substring(md5(doc_id::VARCHAR || ':' || '{seed}'), 1, 15))::BIGINT"
+    strat_cases = " ".join(
+        f"WHEN '{lang}' THEN {_threshold(rate)}"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    stratified = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {coin.format(seed=42)} <
+              CASE lang {strat_cases} ELSE {_threshold(0.0)} END
+    """
+    acc, cuts = 0.0, []
+    for w in SPLIT_WEIGHTS[:-1]:
+        acc += w
+        cuts.append(_threshold(acc))
+    split_coin = coin.format(seed=7)
+    whens = " ".join(
+        f"WHEN {split_coin} < {cut} THEN '{name}'"
+        for name, cut in zip(SPLIT_NAMES[:-1], cuts)
+    )
+    dataset_split = f"""
+        SELECT doc_id,
+               CASE {whens} ELSE '{SPLIT_NAMES[-1]}' END AS split
+        FROM documents
+    """
+    return {"stratified_sample": stratified, "dataset_split": dataset_split}
+
+
+_SAMPLING_ORACLES = _build_sampling_oracles()
 
 
 _GOPHER_REPETITION_ORACLE = r"""

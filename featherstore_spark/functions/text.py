@@ -245,6 +245,72 @@ def repetition_stats(
     )
 
 
+#: C4 document-level blocklist: any hit drops the whole document
+#: (Raffel et al. 2020 §2.2 uses "lorem ipsum" and the curly brace as
+#: boilerplate/code markers; matched on lowercased text).
+C4_DOC_BLOCKLIST = ("lorem ipsum", "{")
+#: C4 line-level blocklist (the paper drops any line with "javascript").
+C4_LINE_BLOCKLIST = ("javascript",)
+#: A kept line must end in terminal punctuation (C4's sentence
+#: heuristic).  Checked via substring, NOT a ``$``-anchored regex: Java's
+#: ``$`` matches before a final ``\r`` line terminator while RE2's does
+#: not, so the regex form would silently diverge from the DuckDB twin on
+#: CRLF text.
+C4_TERMINAL_CHARS = (".", "!", "?", '"')
+
+
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level corpus cleaning (Raffel et al. 2020, §2.2),
+    adapted: per document, KEEP only lines that (a) have ≥ ``min_words``
+    whitespace words, (b) end in terminal punctuation (``.!?"`` after
+    right-trim), and (c) contain no line-blocklist term; then flag the
+    whole document ``c4_keep = false`` when its lowercased text hits the
+    document blocklist or fewer than ``min_kept_lines`` lines survive.
+
+    Returns ``(id_col, clean_text, n_lines, n_kept, c4_keep)`` —
+    ``clean_text`` is the kept lines re-joined with newlines (empty
+    string when nothing survives), so the output drops straight into the
+    dedup/quality stages.
+
+    Plan shape: pure higher-order functions over the line array — every
+    lambda touches only its element (no outer-expression re-evaluation),
+    no explode, no shuffle; one codegen'd projection over the scan at
+    any scale."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(c, "\n")
+
+    def _keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        words = F.size(F.split(t, _WS))
+        cond = (
+            (t != "")
+            & (words >= min_words)
+            & F.substring(F.rtrim(ln), -1, 1).isin(*C4_TERMINAL_CHARS)
+        )
+        for term in C4_LINE_BLOCKLIST:
+            cond = cond & ~F.contains(F.lower(ln), F.lit(term))
+        return cond
+
+    kept = F.filter(lines, _keep)
+    doc_blocked = F.lit(False)
+    for term in C4_DOC_BLOCKLIST:
+        doc_blocked = doc_blocked | F.contains(F.lower(c), F.lit(term))
+    n_kept = F.size(kept).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        (~doc_blocked & (n_kept >= min_kept_lines)).alias("c4_keep"),
+    )
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language stopword hit counts (whole lowercased tokens)."""
     return {lang: stopword_count(col, words) for lang, words in STOPWORDS.items()}

@@ -1,0 +1,106 @@
+"""Deterministic hash-based sampling — the data-mixing layer of a
+training-corpus pipeline (source/domain reweighting, train/val/test
+splits).  No reference counterpart (featherstore serves features; it does
+not compose corpora) — this is part of the training-data operator tier
+next to dedup and quality filtering.
+
+Every decision is a pure function of (key, seed) via ``md5_long60``:
+re-running at any parallelism, on any engine, keeps EXACTLY the same
+rows — reproducible corpus builds, no RNG state, no per-partition seeds —
+and the DuckDB twin recomputes the identical bits
+(``('0x' || substring(md5(x), 1, 15))::BIGINT``).  At 100 TB each
+operator is one codegen'd filter/projection over the scan: no shuffle,
+no sampling service, pushdown-friendly.
+
+Thresholds are integer literals computed ONCE in Python
+(``rate × 2^60``), so engine and oracle compare against bit-identical
+constants instead of racing float arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from featherstore_spark.functions.hashing import md5_long60
+
+_SCALE = 1 << 60  # md5_long60 is uniform on [0, 2^60)
+
+
+def _u60(key_col: str, seed: int) -> Column:
+    """Uniform [0, 2^60) hash of (key, seed) — the sampling coin."""
+    return md5_long60(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))
+    )
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sampling rate must be in [0, 1], got {rate}")
+    return int(rate * _SCALE)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``.
+
+    Unlike ``DataFrame.sample`` this is stable across runs, partitionings,
+    and engines: a row's fate depends only on its key and the seed, so an
+    incremental re-build samples supersets consistently and the DuckDB
+    twin selects the identical rows."""
+    return df.where(_u60(key_col, seed) < F.lit(_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str,
+    strata_col: str,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — domain/source mixing weights
+    (e.g. upweight books, downweight boilerplate web).  ``rates`` maps
+    stratum value → keep probability; unlisted strata use
+    ``default_rate``.  One codegen'd CASE over the scan; the hash coin is
+    shared across strata so changing one stratum's rate never reshuffles
+    another's sample."""
+    thresh: Column = F.lit(_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(_threshold(rate))
+        ).otherwise(thresh)
+    return df.where(_u60(key_col, seed) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: tuple[float, ...] = (0.98, 0.01, 0.01),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash range — the standard
+    leakage-safe train/val/test partition (a key always lands in the
+    same split, even across corpus versions, so validation documents can
+    never migrate into training between builds)."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must have equal length")
+    total = sum(weights)
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = _u60(key_col, seed)
+    cuts = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w
+        cuts.append(_threshold(acc))
+    # nest from the last cut inward so the FIRST matching cut wins:
+    # when(u<c1, n1, when(u<c2, n2, ..., last)); the final split takes
+    # the remainder — no float edge at the top end
+    expr: Column = F.lit(names[-1])
+    for name, cut in zip(names[:-1][::-1], cuts[::-1]):
+        expr = F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

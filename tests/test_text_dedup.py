@@ -667,3 +667,31 @@ def test_repetition_stats_hand_computed(spark):
             "top_ngram_char_frac": 0.0, "dup_ngram_char_frac": 0.0,
             "repetition_ok": True,
         }
+
+
+def test_c4_line_clean_hand_computed(spark):
+    """C4 line filters on a hand-built corpus: word-count, terminal
+    punctuation, javascript lines, doc blocklist, min-kept-lines."""
+    from featherstore_spark.functions.text import c4_line_clean
+
+    good = "this line has plenty of words and ends properly."
+    rows = [
+        (1, f"{good}\nshort line.\nno terminal punctuation here at all\n"
+            f"please enable javascript to continue reading this page.\n{good}\n{good}"),
+        (2, f"{good}\n{good}"),             # only 2 kept -> dropped
+        (3, "lorem ipsum dolor sit amet. " + ("x " * 20 + ".\n") * 5),  # doc blocklist
+        (4, None),
+        (5, f'{good}\n"a quoted line with exactly enough words here!"\n{good}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_line_clean(df).collect()}
+
+    assert got[1]["n_kept"] == 3 and got[1]["c4_keep"] is True
+    assert got[1]["clean_text"] == "\n".join([good, good, good])
+    assert got[1]["n_lines"] == 6
+    assert got[2]["n_kept"] == 2 and got[2]["c4_keep"] is False
+    assert got[3]["c4_keep"] is False  # blocklisted even with kept lines
+    assert got[4] == {
+        "doc_id": 4, "clean_text": "", "n_lines": 1, "n_kept": 0, "c4_keep": False,
+    }
+    assert got[5]["n_kept"] == 3 and got[5]["c4_keep"] is True
