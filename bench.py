@@ -50,6 +50,8 @@ HEADLINE = [
     "top_orders",
     "top_customers",
     "text_stats",
+    "gopher_repetition",
+    "c4_line_clean",
     "exact_dedup",
     "jaccard_pairs",
     "minhash_near_dups",
