@@ -472,6 +472,23 @@ def q_dataset_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style pretraining batch
+    assembly): documents laid head-to-tail into fixed-size windows over
+    hash-disjoint parallel streams — one window cumsum per stream, no
+    UDF, deterministic (stream, bin, offset) for every doc."""
+    from featherstore_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, size_col="n_chars", capacity=PACK_CAPACITY, key_col="doc_id",
+        n_streams=PACK_STREAMS, seed=11,
+    ).select("doc_id", "stream", "bin_id", "bin_offset", "n_bins")
+
+
+PACK_CAPACITY = 4096
+PACK_STREAMS = 8
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625}
 SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 SPLIT_NAMES = ("train", "val", "test")
@@ -733,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_clean": q_c4_line_clean,
         "stratified_sample": q_stratified_sample,
         "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -951,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_clean": _C4_LINE_CLEAN_ORACLE,
         "stratified_sample": _SAMPLING_ORACLES["stratified_sample"],
         "dataset_split": _SAMPLING_ORACLES["dataset_split"],
+        "pack_sequences": _SAMPLING_ORACLES["pack_sequences"],
         "lang_id": _LANG_ORACLE,
         "exact_dedup": r"""
             SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
@@ -1199,7 +1218,31 @@ def _build_sampling_oracles() -> dict[str, str]:
                CASE {whens} ELSE '{SPLIT_NAMES[-1]}' END AS split
         FROM documents
     """
-    return {"stratified_sample": stratified, "dataset_split": dataset_split}
+    pack_coin = coin.format(seed=11)
+    pack = f"""
+        WITH p AS (
+          SELECT doc_id, {pack_coin} AS coin, n_chars::BIGINT AS sz
+          FROM documents
+        ), c AS (
+          SELECT doc_id, (coin % {PACK_STREAMS})::INT AS stream, sz,
+                 COALESCE(SUM(sz) OVER (
+                   PARTITION BY coin % {PACK_STREAMS}
+                   ORDER BY coin, doc_id, sz
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM p
+        )
+        SELECT doc_id, stream,
+               (cum // {PACK_CAPACITY})::BIGINT AS bin_id,
+               (cum % {PACK_CAPACITY})::BIGINT AS bin_offset,
+               ((cum + greatest(sz, 1) - 1) // {PACK_CAPACITY}
+                - cum // {PACK_CAPACITY} + 1)::BIGINT AS n_bins
+        FROM c
+    """
+    return {
+        "stratified_sample": stratified,
+        "dataset_split": dataset_split,
+        "pack_sequences": pack,
+    }
 
 
 _SAMPLING_ORACLES = _build_sampling_oracles()

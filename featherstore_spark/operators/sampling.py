@@ -28,9 +28,16 @@ _SCALE = 1 << 60  # md5_long60 is uniform on [0, 2^60)
 
 
 def _u60(key_col: str, seed: int) -> Column:
-    """Uniform [0, 2^60) hash of (key, seed) — the sampling coin."""
+    """Uniform [0, 2^60) hash of (key, seed) — the sampling coin.
+
+    ``concat`` (NULL-propagating), NOT ``concat_ws`` (NULL-skipping): a
+    NULL key must yield a NULL coin so samples DROP the row and
+    ``split_assign`` falls through to the last split — exactly what the
+    SQL twin's ``key || ':' || seed`` does.  With concat_ws a NULL key
+    would hash the bare seed string and silently diverge from the
+    oracle (and give every NULL-key row the same fate)."""
     return md5_long60(
-        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))
+        F.concat(F.col(key_col).cast("string"), F.lit(":"), F.lit(str(seed)))
     )
 
 

@@ -233,3 +233,87 @@ def test_prefix_filter_lemma_admits_no_false_negatives(data):
                     f"lemma violated: jac={jac} t={t} a={sorted(a)} b={sorted(b)}"
                 )
                 assert min(len(a), len(b)) >= t * max(len(a), len(b)) - 1e-9
+
+
+def _repetition_ref(text, top_n=2, dup_n=3):
+    """Pure-Python reference for functions.text.repetition_stats — the
+    same trim/split semantics as the engine (trim strips 0x20 only;
+    ASCII \\s+ split keeps leading/trailing empty tokens, like Spark's
+    split(limit=-1) and DuckDB's string_split_regex)."""
+    import collections
+    import re
+
+    text = text or ""
+    lines = [l for l in text.split("\n") if l.strip(" ") != ""]
+    lc = collections.Counter(lines)
+    n_lines = sum(lc.values())
+    dup_l = sum(c for c in lc.values() if c > 1)
+    l_chars = sum(c * len(l) for l, c in lc.items())
+    dup_l_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
+    trimmed = text.strip(" ")
+    toks = (
+        []
+        if trimmed == ""
+        else [t.lower() for t in re.split(r"\s+", trimmed, flags=re.ASCII)]
+    )
+
+    def counter(n):
+        return collections.Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    gt, gd = counter(top_n), counter(dup_n)
+    top_chars = sum(c * len(g) for g, c in gt.items())
+    top_cl = max(((c, c * len(g)) for g, c in gt.items() if c > 1), default=(0, 0))[1]
+    dup_g_chars = sum(c * len(g) for g, c in gd.items() if c > 1)
+    g_chars = sum(c * len(g) for g, c in gd.items())
+
+    def frac(n, d):
+        return round(n / d, 6) if d > 0 else 0.0
+
+    r = {
+        "n_lines": n_lines,
+        "dup_line_frac": frac(dup_l, n_lines),
+        "dup_line_char_frac": frac(dup_l_chars, l_chars),
+        "top_ngram_char_frac": frac(top_cl, top_chars),
+        "dup_ngram_char_frac": frac(dup_g_chars, g_chars),
+    }
+    r["repetition_ok"] = (
+        r["dup_line_frac"] <= 0.30
+        and r["dup_line_char_frac"] <= 0.20
+        and r["top_ngram_char_frac"] <= 0.20
+        and r["dup_ngram_char_frac"] <= 0.30
+    )
+    return r
+
+
+def test_repetition_stats_equals_pure_python_reference(spark):
+    """200 seeded adversarial docs (tabs, repeated lines/phrases, empty
+    segments, punctuation runs) through ONE Spark job vs the reference —
+    independent of the DuckDB twin, so a shared-SQL-semantics bug in the
+    oracle cannot mask an engine bug."""
+    import random
+
+    from featherstore_spark.functions.text import repetition_stats
+
+    rng = random.Random(20260817)
+    words = ["buy", "now", "the", "cat", "sat", "on", "mat", "X!", '"q"', "{a}"]
+    docs = []
+    for i in range(200):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            n_tok = rng.randint(0, 8)
+            sep = rng.choice([" ", "  ", "\t", " \t "])
+            line = sep.join(rng.choice(words) for _ in range(n_tok))
+            if rng.random() < 0.3:
+                line = " " + line + rng.choice(["", " ", "\t"])
+            lines.append(line)
+        if lines and rng.random() < 0.4:  # force duplicate lines
+            lines.append(rng.choice(lines))
+        docs.append((i, "\n".join(lines) if lines else rng.choice([None, ""])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    for doc_id, text in docs:
+        exp = {"doc_id": doc_id, **_repetition_ref(text)}
+        assert got[doc_id] == exp, (doc_id, repr(text), got[doc_id], exp)

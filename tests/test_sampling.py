@@ -90,3 +90,18 @@ def test_split_assign_validation(documents):
         split_assign(documents, "doc_id", (0.5, 0.5), ("a", "b", "c"))
     with pytest.raises(ValueError, match="sum to 1"):
         split_assign(documents, "doc_id", (0.5, 0.2), ("a", "b"))
+
+
+def test_null_key_semantics_match_sql_twin(spark):
+    """A NULL key yields a NULL coin: samples drop the row, split_assign
+    falls to the last split -- the same outcome as the SQL twin's
+    NULL-propagating `key || ':' || seed` concatenation."""
+    df = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (2, "de")], "doc_id long, lang string"
+    )
+    kept = hash_sample(df, 1.0, "doc_id").select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]  # null key dropped
+    strat = stratified_sample(df, {"en": 1.0, "de": 1.0}, "doc_id", "lang")
+    assert sorted(r["doc_id"] for r in strat.select("doc_id").collect()) == [1, 2]
+    splits = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    assert splits[None] == "test"  # CASE falls through, row never lost
