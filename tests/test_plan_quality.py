@@ -217,3 +217,44 @@ def test_char_ngram_contract_query_has_no_cross_join(spark):
     plan = _plan(entry_mod.q_char_ngram_jaccard(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sampling_ops_are_shuffle_free_scan_filters(spark):
+    """Every sampling decision is a pure function of (key, seed): the
+    physical plan must be filter-over-scan with ZERO exchanges — at
+    100 TB a sampling pass that shuffles is a broken design."""
+    for q in ("q_stratified_sample", "q_dataset_split"):
+        plan = _plan(getattr(entry_mod, q)(spark, SF_DIR))
+        assert "Exchange" not in plan, (q, plan)
+        assert "CartesianProduct" not in plan
+
+
+def test_c4_line_clean_is_shuffle_free(spark):
+    """Line filtering is per-row HOF work — no exchange, no generator."""
+    plan = _plan(entry_mod.q_c4_line_clean(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # HOFs over the array, never explode
+
+
+def test_pack_sequences_single_stream_shuffle(spark):
+    """Packing = one hash exchange (the per-stream window partitioning)
+    and one window; no join, no second shuffle, no sort beyond the
+    window's own."""
+    plan = _plan(entry_mod.q_pack_sequences(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_repetition_stats_bounded_shuffles_no_cartesian(spark):
+    """Gopher repetition: generators + doc-keyed aggregates only —
+    every exchange is keyed on the doc id or (doc, gram); nothing
+    quadratic, nothing keyed on a global value."""
+    plan = _plan(entry_mod.q_gopher_repetition(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # line path (2 aggs) + token window + gram agg + two joins back:
+    # bounded constant, not data-dependent
+    assert plan.count("Exchange hashpartitioning") <= 8, plan.count(
+        "Exchange hashpartitioning"
+    )
