@@ -494,6 +494,15 @@ SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 SPLIT_NAMES = ("train", "val", "test")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/SSNs/IPv4/phones → <TYPE> tokens) with
+    per-type counts — precedence-ordered replace chain, codegen only."""
+    from featherstore_spark.functions.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    return pii_scrub(docs, "doc_id", "text")
+
+
 def q_lang_id(spark, sf_dir):
     from featherstore_spark.functions.text import lang_id
 
@@ -748,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "gopher_repetition": q_gopher_repetition,
         "c4_line_clean": q_c4_line_clean,
+        "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
@@ -967,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_ORACLE,
         "gopher_repetition": _GOPHER_REPETITION_ORACLE,
         "c4_line_clean": _C4_LINE_CLEAN_ORACLE,
+        "pii_scrub": _PII_SCRUB_ORACLE,
         "stratified_sample": _SAMPLING_ORACLES["stratified_sample"],
         "dataset_split": _SAMPLING_ORACLES["dataset_split"],
         "pack_sequences": _SAMPLING_ORACLES["pack_sequences"],
@@ -1186,6 +1197,34 @@ _C4_LINE_CLEAN_ORACLE = r"""
             AND len(kept) >= 3) AS c4_keep
     FROM k
 """
+
+
+def _build_pii_scrub_oracle() -> str:
+    """SQL twin of text.pii_scrub, generated from the SAME pattern table
+    so engine and oracle can never drift: per stage, count on the
+    stage's input then replace globally; patterns are Java/RE2-identical
+    by construction (no lookaround, ASCII classes)."""
+    from featherstore_spark.functions.text import PII_PATTERNS
+
+    ctes, prev = [], "t0"
+    for i, (name, pat) in enumerate(PII_PATTERNS, start=1):
+        ctes.append(
+            f"s{i} AS (SELECT *, len(regexp_extract_all({prev}, '{pat}'))::BIGINT AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '<{name.upper()}>', 'g') AS t{i} FROM "
+            f"{'d' if i == 1 else f's{i - 1}'})"
+        )
+        prev = f"t{i}"
+    cols = ", ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    flags = " OR ".join(f"n_{name} > 0" for name, _ in PII_PATTERNS)
+    return (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS t0 FROM documents),\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {prev} AS clean_text, {cols}, ({flags}) AS has_pii "
+        + f"FROM s{len(PII_PATTERNS)}"
+    )
+
+
+_PII_SCRUB_ORACLE = _build_pii_scrub_oracle()
 
 
 def _build_sampling_oracles() -> dict[str, str]:

@@ -311,6 +311,53 @@ def c4_line_clean(
     )
 
 
+#: PII patterns, ordered by application precedence (most specific first —
+#: an SSN would otherwise be half-eaten by the looser phone pattern).
+#: Deliberately lookaround-free and ASCII-explicit: Java regex (Spark)
+#: and RE2 (DuckDB) agree on every construct used here (classes,
+#: bounded repeats, non-capturing groups, \b word boundaries); RE2 has
+#: no lookbehind, so none is used.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction — the compliance stage every training-data pipeline
+    runs before text leaves the raw zone: emails, SSNs, IPv4 addresses
+    and phone-shaped digit runs are replaced by ``<TYPE>`` tokens, with
+    a per-type match count.
+
+    Counts are taken ON THE INPUT OF EACH STAGE (after the previous,
+    more-specific replacements), so an SSN counts once as ``n_ssn`` and
+    never again as a phone; replacement tokens contain no digits, so a
+    redaction can never create a new match for a later pattern.
+
+    Pure ``regexp_count``/``regexp_replace`` chains — JVM-side, codegen,
+    zero shuffle at any scale — and every pattern is Java/RE2-identical
+    by construction, so the DuckDB twin recomputes the same counts and
+    the same scrubbed bytes."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {}
+    for name, pat in PII_PATTERNS:
+        counts[name] = F.regexp_count(c, F.lit(pat)).cast("long")
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    has_pii = F.lit(False)
+    for name, _ in PII_PATTERNS:
+        has_pii = has_pii | (counts[name] > 0)
+    return df.select(
+        F.col(id_col),
+        c.alias("clean_text"),
+        *[counts[name].alias(f"n_{name}") for name, _ in PII_PATTERNS],
+        has_pii.alias("has_pii"),
+    )
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language stopword hit counts (whole lowercased tokens)."""
     return {lang: stopword_count(col, words) for lang, words in STOPWORDS.items()}

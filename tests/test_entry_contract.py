@@ -101,7 +101,7 @@ def test_entry_smoke(spark):
 
 NULL_TEXT_QUERIES = [
     "media_byte_stats", "exact_dedup", "text_stats", "lang_id", "gopher_repetition",
-    "c4_line_clean",
+    "c4_line_clean", "pii_scrub",
     "corpus_clean_pipeline", "minhash_near_dups", "simhash_near_dups",
     "jaccard_pairs", "winnow_fingerprints", "winnow_near_dups",
     "char_ngram_jaccard", "dedup_groups", "media_decode_dims",

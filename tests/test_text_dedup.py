@@ -695,3 +695,30 @@ def test_c4_line_clean_hand_computed(spark):
         "doc_id": 4, "clean_text": "", "n_lines": 1, "n_kept": 0, "c4_keep": False,
     }
     assert got[5]["n_kept"] == 3 and got[5]["c4_keep"] is True
+
+
+def test_pii_scrub_hand_computed(spark):
+    """Planted-PII corpus: precedence (an SSN never double-counts as a
+    phone), multiple matches, and exact scrubbed text."""
+    from featherstore_spark.functions.text import pii_scrub
+
+    rows = [
+        (1, "contact me at john.doe@example.com or +1 (555) 123-4567 today."),
+        (2, "ssn 123-45-6789 from ip 192.168.0.1."),
+        (3, None),
+        (4, "a@b.co and c@d.org"),
+        (5, "no pii here at all."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert got[1] == {
+        "doc_id": 1, "clean_text": "contact me at <EMAIL> or <PHONE> today.",
+        "n_email": 1, "n_ssn": 0, "n_ipv4": 0, "n_phone": 1, "has_pii": True,
+    }
+    assert got[2] == {
+        "doc_id": 2, "clean_text": "ssn <SSN> from ip <IPV4>.",
+        "n_email": 0, "n_ssn": 1, "n_ipv4": 1, "n_phone": 0, "has_pii": True,
+    }
+    assert got[3]["clean_text"] == "" and got[3]["has_pii"] is False
+    assert got[4]["n_email"] == 2
+    assert got[5]["has_pii"] is False and got[5]["clean_text"] == rows[4][1]
