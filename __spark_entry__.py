@@ -494,6 +494,32 @@ SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 SPLIT_NAMES = ("train", "val", "test")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination summary: per training doc that shares
+    ≥ DECON_MIN_SHARED winnowing fingerprints with any 'benchmark' doc
+    (source 'src0' plays the eval set), how many benchmark docs it hits
+    and how hard — the report a decontamination pass acts on."""
+    from featherstore_spark.operators.dedup import cross_corpus_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = cross_corpus_overlap(
+        docs.where(F.col("source") != DECON_BENCH_SOURCE),
+        docs.where(F.col("source") == DECON_BENCH_SOURCE),
+        min_shared=DECON_MIN_SHARED,
+        max_fp_docs=DECON_MAX_FP_DOCS,
+    )
+    return pairs.groupBy(F.col("corpus_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_docs"),
+        F.max("shared_fps").cast("long").alias("max_shared"),
+        F.sum("shared_fps").cast("long").alias("total_shared"),
+    )
+
+
+DECON_BENCH_SOURCE = "src0"
+DECON_MIN_SHARED = 10
+DECON_MAX_FP_DOCS = 50
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails/SSNs/IPv4/phones → <TYPE> tokens) with
     per-type counts — precedence-ordered replace chain, codegen only."""
@@ -758,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "c4_line_clean": q_c4_line_clean,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
@@ -978,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _GOPHER_REPETITION_ORACLE,
         "c4_line_clean": _C4_LINE_CLEAN_ORACLE,
         "pii_scrub": _PII_SCRUB_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
         "stratified_sample": _SAMPLING_ORACLES["stratified_sample"],
         "dataset_split": _SAMPLING_ORACLES["dataset_split"],
         "pack_sequences": _SAMPLING_ORACLES["pack_sequences"],
@@ -1197,6 +1225,42 @@ _C4_LINE_CLEAN_ORACLE = r"""
             AND len(kept) >= 3) AS c4_keep
     FROM k
 """
+
+
+def _build_decontaminate_oracle(
+    k: int = 8, w: int = 4
+) -> str:
+    """SQL twin of q_decontaminate via the shared winnow CTE: per-side
+    hot-fingerprint caps (row count per fp == doc frequency, since each
+    doc's fps are a set), fingerprint equi-join, pair threshold, per-doc
+    rollup."""
+    return rf"""
+        WITH {_winnow_mins_cte(k, w)},
+        ex AS (
+          SELECT m.doc_id, d.source, unnest(m.fps) AS fp
+          FROM mins m JOIN documents d USING (doc_id)
+        ),
+        c AS (SELECT doc_id AS corpus_id, fp FROM ex WHERE source <> '{DECON_BENCH_SOURCE}'),
+        b AS (SELECT doc_id AS bench_id, fp FROM ex WHERE source = '{DECON_BENCH_SOURCE}'),
+        chot AS (SELECT fp FROM c GROUP BY fp HAVING COUNT(*) > {DECON_MAX_FP_DOCS}),
+        bhot AS (SELECT fp FROM b GROUP BY fp HAVING COUNT(*) > {DECON_MAX_FP_DOCS}),
+        cc AS (SELECT * FROM c WHERE fp NOT IN (SELECT fp FROM chot)),
+        bb AS (SELECT * FROM b WHERE fp NOT IN (SELECT fp FROM bhot)),
+        pr AS (
+          SELECT corpus_id, bench_id, COUNT(*)::BIGINT AS shared_fps
+          FROM cc JOIN bb USING (fp)
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {DECON_MIN_SHARED}
+        )
+        SELECT corpus_id AS doc_id,
+               COUNT(*)::BIGINT AS n_bench_docs,
+               MAX(shared_fps)::BIGINT AS max_shared,
+               SUM(shared_fps)::BIGINT AS total_shared
+        FROM pr GROUP BY 1
+    """
+
+
+_DECONTAMINATE_ORACLE = _build_decontaminate_oracle()
 
 
 def _build_pii_scrub_oracle() -> str:

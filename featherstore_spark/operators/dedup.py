@@ -711,6 +711,72 @@ def char_ngram_jaccard_pairs(
     )
 
 
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_fp_docs: int | None = 1000,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION pairs: (corpus doc, benchmark doc)
+    sharing ≥ ``min_shared`` winnowing fingerprints — the cross-corpus
+    variant of :func:`winnow_near_duplicates`, used to find training
+    documents that leak evaluation data.  Winnowing guarantees any
+    common run of ``k + w - 1`` chars shares a fingerprint, so verbatim
+    benchmark passages are caught even inside otherwise-novel documents
+    (whole-doc hashing and bag-of-token similarity both dilute them).
+
+    Returns ``(corpus_id, bench_id, shared_fps)``.
+
+    Scale shape: fingerprints come from the zero-shuffle pandas path on
+    EACH side, ``localCheckpoint``-ed so the UDF runs once per side
+    (hot-cap count pass + join); pairing is an equi-join on the 8-byte
+    fingerprint; ``max_fp_docs`` caps boilerplate fingerprints per side
+    (map-combinable ``_drop_hot_keys``) — a license header shared by f
+    corpus docs and g benchmark docs would otherwise emit f·g rows."""
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+
+    def _side(df: DataFrame, out: str) -> DataFrame:
+        rows = (
+            winnow_fingerprint_rows(df, id_col, text_col, k, w)
+            .where(F.col("fp").isNotNull())
+            .select(F.col(id_col).alias(out), "fp")
+            .localCheckpoint(eager=True)
+        )
+        return _drop_hot_keys(rows, ["fp"], max_fp_docs) if max_fp_docs else rows
+
+    c = _side(corpus, "corpus_id")
+    b = _side(benchmark, "bench_id")
+    return (
+        c.join(b, "fp")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_fp_docs: int | None = 1000,
+) -> DataFrame:
+    """Drop every corpus document contaminated by the benchmark (≥ one
+    :func:`cross_corpus_overlap` hit) — the terminal decontamination
+    step: train on what remains."""
+    hits = cross_corpus_overlap(
+        corpus, benchmark, id_col, text_col, k, w, min_shared, max_fp_docs
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(hits, id_col, "left_anti")
+
+
 # ------------------------------------------------------- dedup groups --
 
 def _symmetrize(edges: DataFrame) -> DataFrame:

@@ -722,3 +722,36 @@ def test_pii_scrub_hand_computed(spark):
     assert got[3]["clean_text"] == "" and got[3]["has_pii"] is False
     assert got[4]["n_email"] == 2
     assert got[5]["has_pii"] is False and got[5]["clean_text"] == rows[4][1]
+
+
+def test_cross_corpus_decontamination_planted(spark):
+    """A training doc embedding a verbatim benchmark passage is caught
+    and dropped; an unrelated doc survives. Winnowing guarantees any
+    k+w-1-char common run shares a fingerprint, so a 200-char leak
+    yields far more than min_shared hits."""
+    from featherstore_spark.operators.dedup import (
+        cross_corpus_overlap,
+        decontaminate,
+    )
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "benchmark answer key says choice b is correct because the "
+        "integral of x squared from zero to one equals one third exactly"
+    )
+    bench = spark.createDataFrame(
+        [(100, f"question 7: {passage}")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text before the leak. {passage} and some trailing prose."),
+            (2, "a completely unrelated document about gardening and soil ph."),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = cross_corpus_overlap(corpus, bench, min_shared=5).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in pairs] == [(1, 100)]
+    assert pairs[0]["shared_fps"] >= 5
+
+    kept = decontaminate(corpus, bench, min_shared=5)
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [2]
