@@ -494,6 +494,15 @@ SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 SPLIT_NAMES = ("train", "val", "test")
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top word bigrams (vocabulary induction / boilerplate
+    discovery): one map-combinable gram aggregate + distributed top-k."""
+    from featherstore_spark.functions.text import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=2, top_k=50, min_count=2)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination summary: per training doc that shares
     ≥ DECON_MIN_SHARED winnowing fingerprints with any 'benchmark' doc
@@ -785,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_clean": q_c4_line_clean,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "top_ngrams": q_top_ngrams,
         "stratified_sample": q_stratified_sample,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
@@ -1006,6 +1016,28 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_clean": _C4_LINE_CLEAN_ORACLE,
         "pii_scrub": _PII_SCRUB_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
+        "top_ngrams": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            tk AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                                              x -> lower(x))
+                     END AS tokl
+              FROM d
+            ),
+            gr AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(tokl)),
+                                           i -> tokl[i] || ' ' || tokl[i+1])) AS gram
+              FROM tk
+            )
+            SELECT gram,
+                   COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                   COUNT(*)::BIGINT AS n_occurrences
+            FROM gr GROUP BY 1 HAVING COUNT(*) >= 2
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 50
+        """,
         "stratified_sample": _SAMPLING_ORACLES["stratified_sample"],
         "dataset_split": _SAMPLING_ORACLES["dataset_split"],
         "pack_sequences": _SAMPLING_ORACLES["pack_sequences"],

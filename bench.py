@@ -60,6 +60,7 @@ HEADLINE = [
     "winnow_near_dups",
     "char_ngram_jaccard",
     "dedup_groups",
+    "top_ngrams",
     "cosine_topk",
     "media_byte_stats",
 ]

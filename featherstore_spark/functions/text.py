@@ -311,6 +311,62 @@ def c4_line_clean(
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams — vocabulary induction and
+    boilerplate discovery (the corpus-level companion of the per-doc
+    :func:`repetition_stats`; the grams this surfaces are what hot-key
+    caps and blocklists get seeded with).
+
+    Returns ``(gram, n_docs, n_occurrences)``, ordered deterministically
+    (count desc, gram asc), limited to ``top_k``.
+
+    Plan: grams are built doc-locally (ZERO shuffle before the
+    aggregate) — the token array is materialized behind an
+    explode(array(...)) generator barrier so the tokenizer runs once per
+    doc (CollapseProject would otherwise re-inline it per gram), then
+    ONE map-combinable (gram) aggregate carries a count and a
+    distinct-doc count → global top-k, which Spark executes as
+    per-partition TakeOrdered + a singleton merge of k rows — the full
+    gram table never reaches the driver or a single task."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    # Generator barrier: the child Project (doc id + tokenizer) is
+    # evaluated once per input row; `__t` below is a stored attribute,
+    # so the element_at references inside the gram lambda are O(1).
+    docs = df.select(
+        F.monotonically_increasing_id().alias("__d"),
+        F.explode(F.array(F.transform(ws_tokens(text_col), F.lower))).alias("__t"),
+    )
+    t = F.col("__t")
+    gram_arr = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("__d", F.explode(gram_arr).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("__d").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
+
+
 #: PII patterns, ordered by application precedence (most specific first —
 #: an SSN would otherwise be half-eaten by the looser phone pattern).
 #: Deliberately lookaround-free and ASCII-explicit: Java regex (Spark)

@@ -104,7 +104,7 @@ NULL_TEXT_QUERIES = [
     "c4_line_clean", "pii_scrub",
     "corpus_clean_pipeline", "minhash_near_dups", "simhash_near_dups",
     "jaccard_pairs", "winnow_fingerprints", "winnow_near_dups",
-    "char_ngram_jaccard", "dedup_groups", "media_decode_dims",
+    "char_ngram_jaccard", "dedup_groups", "media_decode_dims", "top_ngrams",
 ]
 
 

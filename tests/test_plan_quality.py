@@ -258,3 +258,16 @@ def test_repetition_stats_bounded_shuffles_no_cartesian(spark):
     assert plan.count("Exchange hashpartitioning") <= 8, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_top_ngrams_shape(spark):
+    """Corpus top-k n-grams: grams built doc-locally (no pre-aggregate
+    key shuffle, no window), one two-phase distinct aggregate, and the
+    global ordering runs as TakeOrderedAndProject (per-partition top-k;
+    only k rows ever reach a single task)."""
+    plan = _plan(entry_mod.q_top_ngrams(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # distinct-doc count = the standard two-exchange expansion; nothing else
+    assert plan.count("Exchange hashpartitioning") == 2, plan
