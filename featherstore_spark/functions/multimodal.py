@@ -15,11 +15,12 @@ pure stdlib+numpy, no image/audio libraries: two tiers,
   baseline JPEG (huffman + dequant + IDCT + chroma upsampling), BMP
   raw rows, netpbm raw, PCM WAV — with per-channel statistics.
 Every decoder returns NULL on malformed bytes (fuzz-tested totality):
-one bad file never kills a 100 TB job.  There are NO codec stubs left:
-``decoder='pil'`` survives only as an optional PIL acceleration slot
-(progressive JPEG, exotic formats) and raises NotImplementedError when
-PIL is absent; ``decoder='fake'`` keeps the deterministic hash-derived
-stand-in for pipeline tests.
+one bad file never kills a 100 TB job.  There are NO codec stubs left
+— JPEG covers both baseline SOF0 and progressive SOF2 (spectral
+selection + successive approximation): ``decoder='pil'`` survives only
+as an optional PIL acceleration slot (exotic formats) and raises
+NotImplementedError when PIL is absent; ``decoder='fake'`` keeps the
+deterministic hash-derived stand-in for pipeline tests.
 """
 
 from __future__ import annotations
@@ -140,7 +141,7 @@ def parse_png_header(b: bytes | None) -> tuple[int, int, int] | None:
     (width, height, channels) or ``None`` for anything malformed: wrong
     signature, first chunk not a 13-byte IHDR, zero/overflow dims, or an
     unknown color type.  Header-only by design; the compressed IDAT
-    stream stays the documented 'pil' slot."""
+    stream is handled by :func:`decode_png_pixels`."""
     import struct
 
     if b is None or len(b) < 33 or b[0:8] != b"\x89PNG\r\n\x1a\n":
@@ -206,7 +207,7 @@ def parse_jpeg_header(b: bytes | None) -> tuple[int, int, int] | None:
     start-of-frame (SOFn) — height/width/components sit at fixed offsets
     in that segment, no entropy decode required.  ``None`` on wrong
     magic, a malformed segment chain, or a truncated SOF.  Pixel decode
-    (the entropy pipeline) is the one remaining 'pil' slot."""
+    (baseline AND progressive) lives in :func:`decode_jpeg_pixels`."""
     import struct
 
     if b is None or len(b) < 4 or b[0:2] != b"\xFF\xD8":
@@ -263,8 +264,8 @@ def decode_png_pixels(b: bytes | None):
     for color type 3.  Returns an (h, w, channels) uint8 array or
     ``None`` for anything unsupported/malformed (non-8-bit depth,
     interlaced, truncated or corrupt zlib stream) — totality, like the
-    header parsers.  This moves PNG out of the 'pil' stub entirely; only
-    entropy-coded formats (JPEG, GIF-LZW) remain there."""
+    header parsers.  This moves PNG out of the 'pil' stub entirely (JPEG
+    and GIF-LZW have their own full decoders below)."""
     import struct
     import zlib
 
@@ -457,7 +458,8 @@ def decode_gif_pixels(b: bytes | None):
     uint8.  Animated GIFs decode their FIRST frame (the standard
     thumbnail semantic).  ``None`` on any malformed structure — same
     totality as every other decoder here.  With this, GIF leaves the
-    'pil' stub; only JPEG's entropy pipeline remains there."""
+    'pil' stub; no codec stub remains (JPEG baseline + progressive are
+    real below)."""
     import struct
 
     if parse_gif_header(b) is None:
@@ -636,13 +638,15 @@ def decode_jpeg_pixels(b: bytes | None):
     """FULL baseline-JPEG pixel decode in pure python+numpy — huffman
     entropy decode (with byte-unstuffing and restart markers), dequant,
     dezigzag, separable float IDCT, sampling-factor upsampling, and
-    YCbCr→RGB — no image library.  Supports baseline sequential SOF0,
-    8-bit, 1 or 3 components, any sampling factors ≤ 2 (4:4:4, 4:2:2,
-    4:2:0).  Returns (h, w, channels) uint8 or ``None`` for anything
-    unsupported (progressive/arithmetic) or malformed — the same
-    totality contract as every decoder here.  With this, the engine has
-    no codec stubs left: the 'pil' decoder slot is retired to an
-    optional acceleration path."""
+    YCbCr→RGB — no image library.  Supports baseline sequential SOF0
+    AND progressive SOF2 (spectral selection + successive approximation,
+    per ITU T.81 §G: DC first/refine, AC first/refine with EOB runs and
+    correction bits), 8-bit, 1 or 3 components, any sampling factors ≤ 2
+    (4:4:4, 4:2:2, 4:2:0).  Returns (h, w, channels) uint8 or ``None``
+    for anything unsupported (lossless/hierarchical/arithmetic) or
+    malformed — the same totality contract as every decoder here.  With
+    this, the engine has no codec stubs left: the 'pil' decoder slot is
+    retired to an optional acceleration path."""
     import struct
 
     if b is None or len(b) < 4 or b[0:2] != b"\xFF\xD8":
@@ -652,9 +656,13 @@ def decode_jpeg_pixels(b: bytes | None):
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coefs = None  # progressive: per-component zigzag coefficient planes
+    geom = None
+    scans_done = 0
     i = 2
     try:
-        while i + 4 <= len(b):
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 return None
             marker = b[i + 1]
@@ -664,7 +672,11 @@ def decode_jpeg_pixels(b: bytes | None):
             if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
-            if marker == 0xD9:  # EOI before scan
+            if marker == 0xD9:  # EOI
+                if progressive and scans_done:
+                    return _finalize_progressive(frame, geom, coefs, qt)
+                return None  # EOI before any (complete) image
+            if i + 4 > len(b):
                 return None
             (seglen,) = struct.unpack_from(">H", b, i + 2)
             if seglen < 2 or i + 2 + seglen > len(b):
@@ -695,13 +707,28 @@ def decode_jpeg_pixels(b: bytes | None):
                         return None
                     (huff_ac if tc else huff_dc)[th] = _build_huffman(bits, vals)
                     j += 17 + n
-            elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            elif marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive SOF
+                if frame is not None:
+                    return None  # second frame: not supported
                 prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or ncomp not in (1, 3) or w == 0 or h == 0:
                     return None
                 comps = [struct.unpack_from(">BBB", seg, 6 + 3 * c) for c in range(ncomp)]
                 frame = (h, w, [(cid, sf >> 4, sf & 0x0F, tq) for cid, sf, tq in comps])
-            elif marker in _JPEG_SOF:  # progressive/lossless etc.
+                if marker == 0xC2:
+                    progressive = True
+                    geom = _jpeg_geometry(frame)
+                    if geom is None:
+                        return None
+                    total = sum(bh * bw * 64 for _h, _v, bw, bh, _ew, _eh in
+                                geom[4].values())
+                    if total > MAX_DECODE_PIXELS:
+                        return None  # header-declared dims bound allocations
+                    coefs = {
+                        cid: np.zeros((bh, bw, 64), np.int32)
+                        for cid, (_h, _v, bw, bh, _ew, _eh) in geom[4].items()
+                    }
+            elif marker in _JPEG_SOF:  # lossless/hierarchical/arithmetic
                 return None
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -711,10 +738,24 @@ def decode_jpeg_pixels(b: bytes | None):
                 ns = seg[0]
                 scan = [(seg[1 + 2 * k], seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 0x0F)
                         for k in range(ns)]
-                return _decode_scan(
-                    b, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
-                    restart_interval,
+                if not progressive:
+                    return _decode_scan(
+                        b, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
+                        restart_interval,
+                    )
+                if len(seg) < 1 + 2 * ns + 3:
+                    return None
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                nxt = _decode_progressive_scan(
+                    b, i + 2 + seglen, frame, geom, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval, coefs,
                 )
+                if nxt is None:
+                    return None
+                scans_done += 1
+                i = nxt
+                continue
             i += 2 + seglen
         return None
     except (struct.error, IndexError, KeyError, ValueError, MemoryError):
@@ -792,7 +833,13 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial
             mcu_count += 1
-    # upsample each component to full resolution and crop
+    return _assemble_jpeg_pixels(h, w, comps, planes, hmax, vmax)
+
+
+def _assemble_jpeg_pixels(h, w, comps, planes, hmax, vmax):
+    """Shared tail of baseline and progressive decode: upsample each
+    spatial component plane to full resolution, crop to the frame, and
+    convert YCbCr→RGB (3-comp) or pass through (grayscale)."""
     out = []
     for cid, hs, vs, tq in comps:
         p = planes[cid]
@@ -808,6 +855,261 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         y + 1.772 * cb,
     ], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_geometry(frame):
+    """Block geometry for multi-scan decode: per component
+    ``(hs, vs, total_bw, total_bh, eff_bw, eff_bh)`` — total dims are
+    MCU-padded (interleaved scans), effective dims are the component's
+    own ceil(dim/8) raster (non-interleaved scans, T.81 §A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        return None
+    if any(hs < 1 or vs < 1 for _c, hs, vs, _t in comps):
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    per = {}
+    for cid, hs, vs, _tq in comps:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        per[cid] = (hs, vs, mcux * hs, mcuy * vs, -(-cw // 8), -(-ch // 8))
+    return hmax, vmax, mcux, mcuy, per
+
+
+def _next_jpeg_marker(b, pos):
+    """Step over entropy remnants / fill bytes / stray RSTn to the 0xFF
+    of the next real marker; None if the stream ends first."""
+    i = pos
+    while i + 1 < len(b):
+        if b[i] == 0xFF:
+            nxt = b[i + 1]
+            if nxt == 0x00:  # stuffed data byte we didn't decode
+                i += 2
+            elif nxt == 0xFF:  # fill
+                i += 1
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker
+                i += 2
+            else:
+                return i
+        else:
+            i += 1
+    return None
+
+
+def _decode_progressive_scan(b, pos, frame, geom, scan, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval, coefs):
+    """One progressive SOS (T.81 §G.2): updates the per-component zigzag
+    coefficient planes in place; returns the byte offset of the next
+    marker, or None on malformed data."""
+    hmax, vmax, mcux, mcuy, per = geom
+    if al > 13 or ah > 13:
+        return None
+    valid = {cid for cid, _hs, _vs, _tq in frame[2]}
+    if any(cid not in valid or cid not in coefs for cid, _d, _a in scan):
+        return None
+    r = _JpegBitReader(b, pos)
+    if ss == 0:
+        if se != 0 or (ah and ah != al + 1):
+            return None
+        ok = _prog_dc_scan(r, scan, per, mcux, mcuy, ah, al, huff_dc,
+                           restart_interval, coefs)
+    else:
+        if len(scan) != 1 or not (1 <= ss <= se <= 63) or (ah and ah != al + 1):
+            return None
+        cid, _dc_id, ac_id = scan[0]
+        ac_t = huff_ac.get(ac_id)
+        if ac_t is None:
+            return None
+        ok = _prog_ac_scan(r, ac_t, per[cid], ss, se, ah, al,
+                           restart_interval, coefs[cid])
+    if not ok:
+        return None
+    return _next_jpeg_marker(b, r.pos)
+
+
+def _prog_dc_scan(r, scan, per, mcux, mcuy, ah, al, huff_dc,
+                  restart_interval, coefs):
+    """DC band: interleaved MCU order when ns>1, the component's own
+    block raster when ns==1.  Ah=0: huffman diff, value << Al; Ah>0:
+    one appended bit per block sets bit Al."""
+    tables = {}
+    if ah == 0:
+        for cid, dc_id, _ac in scan:
+            t = huff_dc.get(dc_id)
+            if t is None:
+                return False
+            tables[cid] = t
+
+    def units():
+        if len(scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = []
+                    for cid, _d, _a in scan:
+                        hs, vs = per[cid][0], per[cid][1]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blocks.append((cid, my * vs + by, mx * hs + bx))
+                    yield blocks
+        else:
+            cid = scan[0][0]
+            ew, eh = per[cid][4], per[cid][5]
+            for by in range(eh):
+                for bx in range(ew):
+                    yield [(cid, by, bx)]
+
+    pred = {cid: 0 for cid, _d, _a in scan}
+    done = 0
+    for blocks in units():
+        if restart_interval and done and done % restart_interval == 0:
+            if not r.align_restart():
+                return False
+            pred = {cid: 0 for cid, _d, _a in scan}
+        for cid, by, bx in blocks:
+            if ah == 0:
+                t = _huff_decode(r, tables[cid])
+                if t is None:
+                    return False
+                diff = _receive_extend(r, t)
+                if diff is None:
+                    return False
+                pred[cid] += diff
+                coefs[cid][by, bx, 0] = pred[cid] << al
+            else:
+                bit = r.read(1)
+                if bit is None:
+                    return False
+                if bit:
+                    coefs[cid][by, bx, 0] |= 1 << al
+        done += 1
+    return True
+
+
+def _prog_ac_scan(r, ac_t, per_c, ss, se, ah, al, restart_interval, coefs_c):
+    """AC band of one component (always non-interleaved).  Ah=0: first
+    pass with EOB runs; Ah>0: refinement — newly-nonzero coefficients
+    arrive as size-1 symbols, already-nonzero ones consume correction
+    bits (the jdphuff algorithm, which is the spec's §G.2 made
+    concrete)."""
+    ew, eh = per_c[4], per_c[5]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    done = 0
+    for by in range(eh):
+        for bx in range(ew):
+            if restart_interval and done and done % restart_interval == 0:
+                if not r.align_restart():
+                    return False
+                eobrun = 0
+            blk = coefs_c[by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(r, ac_t)
+                        if rs is None:
+                            return False
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << run) - 1
+                            if run:
+                                ebits = r.read(run)
+                                if ebits is None:
+                                    return False
+                                eobrun += ebits
+                            break
+                        k += run
+                        if k > se:
+                            return False
+                        v = _receive_extend(r, size)
+                        if v is None:
+                            return False
+                        blk[k] = v << al
+                        k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(r, ac_t)
+                        if rs is None:
+                            return False
+                        run, size = rs >> 4, rs & 0x0F
+                        s = 0
+                        if size:
+                            if size != 1:
+                                return False
+                            bit = r.read(1)
+                            if bit is None:
+                                return False
+                            s = p1 if bit else m1
+                        elif run != 15:
+                            eobrun = 1 << run
+                            if run:
+                                ebits = r.read(run)
+                                if ebits is None:
+                                    return False
+                                eobrun += ebits
+                            break  # rest of block via EOB logic below
+                        # advance over `run` zero-history coefficients,
+                        # appending correction bits to nonzero ones
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                bit = r.read(1)
+                                if bit is None:
+                                    return False
+                                if bit and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                run -= 1
+                                if run < 0:
+                                    break
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = s
+                        k += 1
+                if eobrun > 0:
+                    # EOB region: correction bits for nonzero-history coefs
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            bit = r.read(1)
+                            if bit is None:
+                                return False
+                            if bit and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            done += 1
+    return True
+
+
+def _finalize_progressive(frame, geom, coefs, qt):
+    """Dequantize + dezigzag + vectorized IDCT of the accumulated
+    coefficient planes, then the shared upsample/color tail."""
+    h, w, comps = frame
+    hmax, vmax, _mcux, _mcuy, _per = geom
+    idct = _idct_matrix()
+    planes = {}
+    for cid, _hs, _vs, tq in comps:
+        if tq not in qt or cid not in coefs:
+            return None
+        z = coefs[cid].astype(np.float64)  # (BH, BW, 64) zigzag order
+        nat = np.zeros_like(z)
+        nat[:, :, _ZIGZAG] = z
+        bh, bw = z.shape[0], z.shape[1]
+        blocks = nat.reshape(bh, bw, 8, 8) * qt[tq][None, None]
+        spatial = np.einsum("ji,yxjk,kl->yxil", idct, blocks, idct) + 128.0
+        planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _assemble_jpeg_pixels(h, w, comps, planes, hmax, vmax)
 
 
 def decode_wav_samples(b: bytes | None):

@@ -526,6 +526,68 @@ def test_jpeg_pixel_decode_baseline():
     assert kind == "image" and px.shape == (21, 30, 3)
 
 
+def test_jpeg_pixel_decode_progressive():
+    """decode_jpeg_pixels also decodes PROGRESSIVE (SOF2) streams —
+    spectral selection + successive approximation per T.81 §G.  The
+    coefficients a progressive stream carries are identical to the
+    baseline stream's once every scan lands, so the decode must be
+    BIT-IDENTICAL to the baseline decode of the same image, across DC/AC
+    refinement depths, band splits, 4:2:0, and restart intervals (which
+    reset both DC predictors and EOB runs)."""
+    import numpy as np
+
+    from featherstore_spark.functions.multimodal import decode_jpeg_pixels
+    from tests.jpeg_encoder import encode, encode_progressive
+
+    rng = np.random.default_rng(11)
+    noisy = rng.integers(0, 256, (33, 47)).astype(float)
+    rgb = rng.integers(0, 256, (30, 34, 3)).astype(float)
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = ((yy * 3 + xx * 2) % 256).astype(float)  # long EOB runs
+    smooth3 = np.stack([smooth[:32, :32]] * 3, axis=-1)
+
+    cases = [
+        (smooth, {}),                                   # EOBRUN spans blocks
+        (noisy, {}),
+        (rgb, {}),
+        (rgb, {"subsample": True}),                     # 4:2:0, odd dims
+        (rgb, {"restart": 3}),                          # RST in every scan
+        (smooth3, {"subsample": True, "restart": 2}),
+        (noisy, {"al_dc": 2, "al_ac": 2}),              # two refine passes
+        (rgb, {"al_dc": 0, "al_ac": 0}),                # spectral-sel only
+        (noisy, {"bands": ((1, 63),)}),
+        (rgb, {"bands": ((1, 2), (3, 9), (10, 35), (36, 63))}),
+        (smooth, {"al_dc": 3, "al_ac": 3, "restart": 4}),
+    ]
+    for img, kw in cases:
+        base = decode_jpeg_pixels(encode(img, subsample=kw.get("subsample", False)))
+        prog = decode_jpeg_pixels(encode_progressive(img, **kw))
+        assert prog is not None, kw
+        assert prog.shape == base.shape, kw
+        assert np.array_equal(prog, base), (kw, np.abs(
+            prog.astype(int) - base.astype(int)).max())
+
+    # totality: every truncation prefix decodes to None or a valid
+    # array, never an exception; ditto a mid-stream bit flip
+    full = encode_progressive(rgb, restart=2)
+    for cut in range(0, len(full), max(1, len(full) // 61)):
+        out = decode_jpeg_pixels(full[:cut])
+        assert out is None or out.shape == (30, 34, 3)
+    flipped = bytearray(full)
+    flipped[len(flipped) // 2] ^= 0xFF
+    out = decode_jpeg_pixels(bytes(flipped))
+    assert out is None or out.shape == (30, 34, 3)
+
+    # header-declared huge dims bound allocations in the progressive
+    # path too (MAX_DECODE_PIXELS)
+    import struct
+
+    sof2 = (b"\xFF\xC2" + struct.pack(">H", 8 + 9)
+            + struct.pack(">BHHB", 8, 65535, 65535, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    assert decode_jpeg_pixels(b"\xFF\xD8" + sof2 + b"\xFF\xD9") is None
+
+
 def test_wav_decode_totality_on_trailing_truncated_chunk():
     """r5 review: a WAV whose trailing 'fmt ' chunk is truncated passes
     parse_wav_header (which skips csize<16 fmt chunks) but crashed the
