@@ -760,6 +760,31 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(emb.where(F.col("vec_id") < 5), emb, k=3, n_planes=4, n_tables=12)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic fixed-point k-means (operators/clustering.py):
+    md5-rank seeds, 2 exact integer Lloyd rounds, argmin assignment with
+    (distance, cid) tie-break.  All-integer output, so the unrolled-
+    iteration DuckDB twin matches bit-for-bit — a value-checked
+    distributed k-means, not a rows-only one."""
+    from featherstore_spark.operators.clustering import kmeans_fit_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit_assign(emb, k=8, iters=2)
+    return assigned.select("vec_id", "cluster_id")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means clusters as the blocking
+    structure, then drop any vector with a >= 0.35 rounded-cosine
+    lower-id neighbor in the SAME cluster (min-id representative).  The
+    within-cluster self-join is an equi-join on cluster_id — no
+    crossJoin, no corpus broadcast."""
+    from featherstore_spark.operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.35)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # feature engine (SURVEY §2: J1/J3/J4, P1/P3, W1-W4, A1-A4, O1/O2, U1)
@@ -817,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1093,6 +1120,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _build_simhash_oracle(max_hamming=3),
         "lsh_ann_topk": _build_lsh_ann_oracle(k=3, n_planes=4, n_tables=12),
         "ivf_ann_topk": _build_ivf_ann_oracle(k=3, n_centroids=16, n_probes=6),
+        "kmeans_clusters": _build_kmeans_oracle(k=8, iters=2),
+        "semantic_dedup": _build_semantic_dedup_oracle(k=8, iters=2, threshold=0.35),
     }
 
 
@@ -1790,4 +1819,99 @@ def _build_embedding_blocked_oracle(threshold: float = 0.35, n_planes: int = 6) 
                ROUND(list_cosine_similarity(a.v, x.v), 6) AS cosine
         FROM b a JOIN b x ON a.blk = x.blk AND a.vec_id < x.vec_id
         WHERE ROUND(list_cosine_similarity(a.v, x.v), 6) >= {threshold}
+    """
+
+
+def _kmeans_cte_chain(k: int, iters: int, seed: int = 42) -> tuple[str, str]:
+    """Shared CTE chain recomputing clustering.kmeans_fit_assign in
+    DuckDB — the full unrolled Lloyd loop, bit-exact because every step
+    is integer arithmetic:
+
+    - quantize: floor((x + 1.0) * 10000) — IEEE double add/mul/floor,
+      identical in both engines; values are non-negative by the offset,
+      so DuckDB's truncating ``//`` IS floor division (matches the
+      Python ``//`` the Spark operator uses host-side);
+    - distances via list_dot_product on the int vectors cast to DOUBLE:
+      every partial sum is an integer < 2^35, exact in float64, so the
+      DOUBLE distance equals Spark's int64 distance;
+    - centroid update: CAST(SUM v AS BIGINT) // COUNT — exact integer
+      floor mean (DuckDB SUM(BIGINT) widens to HUGEINT, hence the cast);
+      empty clusters COALESCE to the previous centroid, mirroring the
+      operator.
+
+    Returns (cte_sql, final_assignment_cte_name)."""
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    h = sql_md5_long60(f"'km:{seed}:'||vec_id::VARCHAR")
+    dist = (
+        "(list_dot_product(v.qv::DOUBLE[], v.qv::DOUBLE[])"
+        " - 2*list_dot_product(v.qv::DOUBLE[], c.cv::DOUBLE[])"
+        " + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))"
+    )
+    parts = [
+        f"""q0 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS fv,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor((x + 1.0) * 10000.0) AS BIGINT)) AS qv
+          FROM embeddings
+        ), c0 AS (
+          SELECT rn - 1 AS cid, qv AS cv FROM (
+            SELECT qv, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rn FROM q0
+          ) WHERE rn <= {k}
+        )"""
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+          SELECT vec_id, qv, cid FROM (
+            SELECT v.vec_id, v.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+            FROM q0 v CROSS JOIN c{i} c
+          ) WHERE rn = 1
+        ), u{i} AS (
+          SELECT cid, list((CAST(s AS BIGINT) // n)::BIGINT ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, SUM(val) AS s, COUNT(*) AS n FROM (
+              SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val FROM a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        ), c{i + 1} AS (
+          SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+          FROM c{i} p LEFT JOIN u{i} u USING (cid)
+        )""")
+    parts.append(f"""afinal AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+            FROM q0 v CROSS JOIN c{iters} c
+          ) WHERE rn = 1
+        )""")
+    return "WITH " + ",\n".join(parts), "afinal"
+
+
+def _build_kmeans_oracle(k: int = 8, iters: int = 2, seed: int = 42) -> str:
+    ctes, final = _kmeans_cte_chain(k, iters, seed)
+    return f"""
+        {ctes}
+        SELECT vec_id, cid::INTEGER AS cluster_id FROM {final}
+    """
+
+
+def _build_semantic_dedup_oracle(
+    k: int = 8, iters: int = 2, threshold: float = 0.35, seed: int = 42
+) -> str:
+    """SQL twin of clustering.semantic_dedup: the k-means chain, then a
+    within-cluster self-join on the ORIGINAL double vectors (rounded
+    cosine, min-id representative kept)."""
+    ctes, final = _kmeans_cte_chain(k, iters, seed)
+    return f"""
+        {ctes},
+        m AS (
+          SELECT a.vec_id, a.cid, q.fv FROM {final} a JOIN q0 q USING (vec_id)
+        ),
+        drops AS (
+          SELECT DISTINCT y.vec_id AS drop_id
+          FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE ROUND(list_cosine_similarity(x.fv, y.fv), 6) >= {threshold}
+        )
+        SELECT a.vec_id, a.cid::INTEGER AS cluster_id, (d.drop_id IS NULL) AS keep
+        FROM {final} a LEFT JOIN drops d ON a.vec_id = d.drop_id
     """

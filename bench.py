@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_groups",
     "top_ngrams",
     "cosine_topk",
+    "semantic_dedup",
     "media_byte_stats",
 ]
 

@@ -1,0 +1,194 @@
+"""Deterministic distributed k-means + SemDeDup-style semantic dedup.
+
+Why fixed-point: Lloyd's algorithm is centroid-mean → re-assign, and a
+float mean is *summation-order dependent* — two engines (or two runs of
+the same engine with different partitioning) can disagree in the last
+ulp, flip one boundary assignment, and diverge completely by the next
+iteration.  So the whole loop runs in integer space: embeddings are
+quantized ONCE (``floor((x + offset) * scale)`` — the ``offset`` keeps
+every value non-negative so truncating and flooring division coincide,
+which is exactly where Python ``//``, Spark integer math and DuckDB
+``//`` agree), distances are exact int64 sums, and centroid updates are
+exact integer floor-divisions.  Every intermediate is bit-identical on
+any cluster size AND recomputable in DuckDB SQL, so the driver
+value-checks the full pipeline (CORRECTNESS gate), not just row counts.
+
+Scale posture (100 TB):
+- Seeding is md5-rank selection (smallest ``md5_long60(id)`` wins), the
+  same deterministic no-RNG scheme as ``similarity.ivf_assign``
+  (reference has no ANN/clustering tier; SURVEY §2 '+' families) —
+  one top-k over (hash, id) pairs, k×dim ints to the driver.
+- Each Lloyd iteration is ONE corpus scan: assignment is a broadcast of
+  k×dim literal ints evaluated JVM-side (no Python, no join), and the
+  centroid update is a map-side-combinable ``groupBy(cid)`` with
+  dim+1 sum/count partials — the shuffle carries O(tasks × k) partial
+  rows, never vectors.  Driver state is O(k × dim) ints per iteration.
+- ``iters`` is a FIXED count (no convergence probe), so the job graph
+  is static and the SQL twin can unroll it.  SemDeDup-quality clusters
+  do not need convergence — 2-4 iterations over a coarse quantizer is
+  the published recipe (Abbas et al. 2023, §3: k-means clusters are
+  only a blocking structure for within-cluster pairwise cosine).
+- ``semantic_dedup`` then self-joins WITHIN clusters only (equi-join on
+  cid — shuffle-partitioned, AQE-skew-splittable), with a hot-cluster
+  cap reusing the map-combinable guard from ``dedup._drop_hot_keys``;
+  there is never a crossJoin and never a corpus broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from featherstore_spark.functions.hashing import md5_long60
+from featherstore_spark.operators.similarity import _cos
+
+# Fixed-point parameters.  offset=1.0 maps any input in (-1, +inf) to a
+# non-negative integer; scale=10^4 keeps 64-dim squared distances below
+# 2^35 — exact in int64 AND in the oracle's float64 arithmetic.
+Q_SCALE = 10_000
+Q_OFFSET = 1.0
+
+
+def quantize_vec(vec_col, dim: int, scale: int = Q_SCALE, offset: float = Q_OFFSET):
+    """array<float> -> array<long>: ``floor((x + offset) * scale)``.
+
+    The float->double cast, the add and the multiply are all IEEE-754
+    double ops — bit-identical in Spark and DuckDB — and floor of a
+    double is exact, so both engines quantize to the same ints."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    return F.transform(
+        v, lambda x: F.floor((x + F.lit(float(offset))) * F.lit(float(scale))).cast("long")
+    )
+
+
+def _sqdist_to(centroid: list[int]):
+    """Exact int64 squared distance from column ``qv`` to a literal
+    centroid.  zip_with + aggregate stay JVM-side; the accumulation
+    order is array order, but every term is an integer so order cannot
+    change the sum."""
+    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with("qv", c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(centroids: list[list[int]]):
+    """cluster id = argmin over centroids of exact squared distance,
+    ties broken by centroid index ASC (struct array_min compares (d,c)
+    lexicographically — engine-independent)."""
+    pairs = [
+        F.struct(_sqdist_to(c).alias("d"), F.lit(i).cast("int").alias("c"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*pairs)).getField("c")
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    scale: int = Q_SCALE,
+    offset: float = Q_OFFSET,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Fixed-point Lloyd k-means: ``iters`` exact integer rounds from
+    md5-rank seeds.  Returns (assignments, final_centroids) where
+    assignments has (id_col, vec_col, qv, cluster_id) and centroids are
+    the k quantized int vectors after the last update.
+
+    Empty clusters keep their previous centroid (documented; the SQL
+    twin mirrors it with a LEFT JOIN + COALESCE)."""
+    qdf = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        quantize_vec(vec_col, dim, scale, offset).alias("qv"),
+    )
+    # --- seed: k corpus vectors with the smallest (md5_long60(id), id) ---
+    seed_rows = (
+        qdf.select(
+            F.col(id_col),
+            "qv",
+            md5_long60(F.concat(F.lit(f"km:{seed}:"), F.col(id_col).cast("string"))).alias("h"),
+        )
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["qv"]) for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(f"k={k} but corpus has only {len(centroids)} vectors")
+
+    sums = [F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)]
+    for _ in range(iters):
+        assigned = qdf.withColumn("cluster_id", _assign_expr(centroids))
+        stats = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        by_cid = {r["cluster_id"]: r for r in stats}
+        centroids = [
+            [int(by_cid[c][f"s{i}"]) // int(by_cid[c]["n"]) for i in range(dim)]
+            if c in by_cid
+            else centroids[c]  # empty cluster: keep previous centroid
+            for c in range(k)
+        ]
+    return qdf.withColumn("cluster_id", _assign_expr(centroids)), centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters as blocking, then a
+    doc is DROPPED iff some lower-id member of the SAME cluster has
+    rounded cosine >= threshold with it (min-id representative — a
+    deterministic one-pass rule, no transitive closure needed because the
+    cluster already bounds the semantic neighborhood).
+
+    Returns (id_col, cluster_id, keep) for every input vector.  The
+    within-cluster self-join is an equi-join on cluster_id; with
+    ``max_cluster_size`` set, boilerplate mega-clusters are capped by the
+    map-combinable hot-key guard before the join (capped rows are KEPT —
+    dropping data because it was merely popular is the wrong default)."""
+    assigned, _ = kmeans_fit_assign(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim, seed=seed
+    )
+    members = assigned.select(F.col(id_col).alias("mid"), F.col(vec_col).alias("mv"), "cluster_id")
+    if max_cluster_size is not None:
+        from featherstore_spark.operators.dedup import _drop_hot_keys
+
+        members = _drop_hot_keys(members, ["cluster_id"], max_cluster_size)
+    a = members.select(F.col("mid").alias("id_a"), F.col("mv").alias("va"), "cluster_id")
+    b = members.select(F.col("mid").alias("id_b"), F.col("mv").alias("vb"), "cluster_id")
+    # The drop list can be a large fraction of the corpus (that is the
+    # point of dedup), so it is NOT broadcast: keep/drop is resolved by a
+    # shuffle equi-join on id — scalable regardless of dup rate.
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(_cos("va", "vb"), 6) >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias("drop_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, assigned[id_col] == dropped["drop_id"], "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
