@@ -545,6 +545,28 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-shaped hashed-unigram linear quality scorer — the
+    inference plumbing of a learned classifier (tokenize → hash →
+    weight → mean → threshold) with md5-derived deterministic weights;
+    zero shuffle, full SQL twin."""
+    from featherstore_spark.functions.text import quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier(docs, threshold=0.0)
+
+
+def q_char_lm_ppl(spark, sf_dir):
+    """CCNet-style perplexity quality signal: char-bigram LM trained on
+    the corpus in one map-combinable pass, docs scored by mean log-prob
+    via a broadcast literal-map lookup (zero shuffle).  The twin
+    recomputes vocab + formula from the same integers."""
+    from featherstore_spark.functions.text import char_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_bigram_lm(docs, vocab_size=256)
+
+
 def q_exact_dedup(spark, sf_dir):
     from featherstore_spark.operators.dedup import exact_duplicates
 
@@ -824,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
+        "quality_classifier": q_quality_classifier,
+        "char_lm_ppl": q_char_lm_ppl,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
@@ -1069,6 +1093,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _SAMPLING_ORACLES["dataset_split"],
         "pack_sequences": _SAMPLING_ORACLES["pack_sequences"],
         "lang_id": _LANG_ORACLE,
+        "quality_classifier": _build_quality_classifier_oracle(threshold=0.0),
+        "char_lm_ppl": _build_char_lm_oracle(vocab_size=256),
         "exact_dedup": r"""
             SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
                    MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
@@ -1914,4 +1940,72 @@ def _build_semantic_dedup_oracle(
         )
         SELECT a.vec_id, a.cid::INTEGER AS cluster_id, (d.drop_id IS NULL) AS keep
         FROM {final} a LEFT JOIN drops d ON a.vec_id = d.drop_id
+    """
+
+
+def _build_quality_classifier_oracle(threshold: float = 0.0, seed: int = 42) -> str:
+    """SQL twin of text.quality_classifier: identical tokenization,
+    identical integer hash-weight arithmetic, identical sequential fold
+    (list_reduce (a,b)->a+b == Spark's aggregate fold since 0.0+x == x)."""
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    w = sql_md5_long60(f"'qc:{seed}:'||x")
+    return rf"""
+        WITH tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(coalesce(lower(text), '')) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(coalesce(lower(text), '')), '\s+')
+                 END AS t
+          FROM documents
+        ), sc AS (
+          SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                 CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE ROUND(list_reduce(
+                             list_transform(t, x -> (({w} % 2001 - 1000) / 1000.0)),
+                             (a, b) -> a + b) / len(t), 6)
+                 END AS q_score
+          FROM tk
+        )
+        SELECT doc_id, q_score, q_score >= {threshold} AS keep, n_tokens FROM sc
+    """
+
+
+def _build_char_lm_oracle(vocab_size: int = 256) -> str:
+    """SQL twin of text.char_bigram_lm: same normalized bigrams, same
+    top-V vocab (count DESC, gram ASC), same ln(count/N) / ln(0.5/N)
+    formula recomputed from the identical integers (same-host libm),
+    scoring via unnest + LEFT JOIN + per-doc mean."""
+    return rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS s
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN length(s) >= 2
+                      THEN list_transform(generate_series(1, length(s) - 1),
+                                          i -> substring(s, i, 2))
+                      ELSE []::VARCHAR[] END AS grams
+          FROM base
+        ), e AS (
+          SELECT doc_id, unnest(grams) AS gm FROM g
+        ), cnt AS (
+          SELECT gm, COUNT(*) AS c FROM e GROUP BY gm
+        ), tot AS (
+          SELECT SUM(c)::DOUBLE AS n FROM cnt
+        ), vocab AS (
+          SELECT gm, c FROM cnt ORDER BY c DESC, gm LIMIT {vocab_size}
+        ), scored AS (
+          SELECT e.doc_id,
+                 SUM(COALESCE(ln(v.c::DOUBLE / t.n), ln(0.5 / t.n))) AS lsum,
+                 COUNT(*) AS ng
+          FROM e LEFT JOIN vocab v USING (gm) CROSS JOIN tot t
+          GROUP BY e.doc_id
+        )
+        SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+               CASE WHEN s.ng IS NULL THEN NULL
+                    ELSE ROUND(-(s.lsum / s.ng), 6) END AS avg_nll,
+               CASE WHEN s.ng IS NULL THEN NULL
+                    ELSE ROUND(exp(-(s.lsum / s.ng)), 6) END AS ppl
+        FROM g LEFT JOIN scored s USING (doc_id)
     """

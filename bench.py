@@ -61,6 +61,7 @@ HEADLINE = [
     "char_ngram_jaccard",
     "dedup_groups",
     "top_ngrams",
+    "char_lm_ppl",
     "cosine_topk",
     "semantic_dedup",
     "media_byte_stats",

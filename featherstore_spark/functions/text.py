@@ -641,3 +641,125 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     return F.when(n >= 1, F.array_sort(F.array_distinct(mins))).otherwise(
         F.array().cast("array<long>")
     )
+
+
+# --------------------------------------------------------------------------
+# Model-shaped quality scoring: hashed linear classifier + char-bigram LM
+# --------------------------------------------------------------------------
+
+def hashed_linear_score(
+    col: Column | str, seed: int = 42, salt: str = "qc"
+) -> tuple[Column, Column]:
+    """fastText-shaped hashed-unigram linear scorer: lowercase whitespace
+    tokens, each hashed to a weight in [-1, 1], score = mean weight.
+
+    The PLUMBING is the production shape — tokenize → hash → weight →
+    mean is exactly what a learned linear quality classifier (CCNet /
+    LLaMA wiki-ref style) runs at inference, all JVM-side HOFs with zero
+    shuffle.  The WEIGHTS are md5-derived deterministic stand-ins (this
+    sandbox ships no model artifacts); swapping in learned weights is a
+    one-line change (replace the hash-weight lambda with a broadcast
+    map lookup).  Weight = (md5_long60(salt||token) % 2001 - 1000)/1000
+    — integer arithmetic then one exact small-int division, so Spark and
+    the DuckDB twin agree bit-for-bit.
+
+    Returns (score, n_tokens); score is rounded to 6 and is 0.0 for
+    empty/NULL text (no tokens — neutral, not NULL, so downstream
+    threshold filters keep deterministic behavior)."""
+    from featherstore_spark.functions.hashing import md5_long60
+
+    c = F.col(col) if isinstance(col, str) else col
+    toks = ws_tokens(F.lower(c))
+    tag = f"{salt}:{seed}:"
+    weights = F.transform(
+        toks,
+        lambda t: (md5_long60(F.concat(F.lit(tag), t)) % F.lit(2001) - F.lit(1000))
+        / F.lit(1000.0),
+    )
+    n = F.size(toks)
+    total = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
+    score = F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0))
+    return score, n.cast("long")
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc hashed-linear quality score + keep flag (score >= threshold,
+    compared on the ROUNDED score so the cut is engine-independent)."""
+    score, n = hashed_linear_score(text_col, seed=seed)
+    return df.select(
+        F.col(id_col),
+        score.alias("q_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+        n.alias("n_tokens"),
+    )
+
+
+def char_bigram_grams(col: Column | str) -> Column:
+    """Array of character bigrams of the winnow-normalized text (shared
+    normalization => same string both engines); < 2 chars → empty."""
+    s = winnow_normalized(col)
+    n = F.length(s) - 1
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """CCNet-style perplexity quality signal from a char-bigram LM
+    trained on the corpus itself (self-perplexity; CCNet scores against
+    a wiki LM — with an external model unavailable here, the corpus LM
+    is the honest stand-in and the plumbing is identical).
+
+    Train: ONE map-combinable groupBy over exploded bigrams (the shuffle
+    carries per-task distinct grams, never the text); the top
+    ``vocab_size`` grams by (count DESC, gram ASC) come to the driver —
+    O(vocab) state — and their log-probs ln(count/N) are inlined as ONE
+    literal map.  OOV mass is ln(0.5/N).
+
+    Score: zero-shuffle second pass — per-doc mean log-prob via a
+    broadcast map lookup folded in array order, no Python, no join.
+    Outputs (id, n_grams, avg_nll, ppl) with avg_nll/ppl rounded to 6;
+    empty docs score NULL.  The SQL twin recomputes the same vocab and
+    formula (same-host libm, exact-int inputs), scoring via
+    unnest+join — float sum-order noise (~1e-13) is far inside the
+    round-6 grid."""
+    import math
+
+    grams = char_bigram_grams(text_col)
+    cnts = df.select(F.explode(grams).alias("g")).groupBy("g").count()
+    n_total = cnts.agg(F.sum("count").alias("n")).collect()[0]["n"]
+    if not n_total:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(None).cast("double").alias("avg_nll"),
+            F.lit(None).cast("double").alias("ppl"),
+        )
+    top = cnts.orderBy(F.col("count").desc(), F.col("g").asc()).limit(vocab_size).collect()
+    vocab = {r["g"]: math.log(r["count"] / n_total) for r in top}
+    oov = math.log(0.5 / n_total)
+    lm = F.map_from_arrays(
+        F.array(*[F.lit(g) for g in vocab]),
+        F.array(*[F.lit(lp) for lp in vocab.values()]),
+    )
+    lps = F.transform(grams, lambda g: F.coalesce(F.element_at(lm, g), F.lit(oov)))
+    ng = F.size(lps)
+    avg = F.aggregate(lps, F.lit(0.0), lambda a, x: a + x) / ng
+    return df.select(
+        F.col(id_col),
+        ng.cast("long").alias("n_grams"),
+        F.when(ng > 0, F.round(-avg, 6)).alias("avg_nll"),
+        F.when(ng > 0, F.round(F.exp(-avg), 6)).alias("ppl"),
+    )
