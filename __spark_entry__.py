@@ -545,6 +545,31 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_interval_join(spark, sf_dir):
+    """Range join expressed as an equi-join: each purchase opens a
+    30-minute promo window; clicks land in windows via bucket-explode +
+    (user, bucket) equi-join + exact range filter — no nested loop, no
+    cartesian (operators/interval.py; plan-asserted)."""
+    from featherstore_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        F.col("event_id").alias("promo_id"),
+    )
+    pts = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = interval_join(pts, iv, on="user_id", width="1 hour")
+    return out.select(
+        "user_id", "ts", "event_id",
+        F.round("value", 4).alias("value"),
+        "start_ts", "end_ts", "promo_id",
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-shaped hashed-unigram linear quality scorer — the
     inference plumbing of a learned classifier (tokenize → hash →
@@ -848,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_classifier": q_quality_classifier,
         "char_lm_ppl": q_char_lm_ppl,
+        "interval_join": q_interval_join,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
@@ -1095,6 +1121,18 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ORACLE,
         "quality_classifier": _build_quality_classifier_oracle(threshold=0.0),
         "char_lm_ppl": _build_char_lm_oracle(vocab_size=256),
+        "interval_join": """
+            SELECT p.user_id, p.ts, p.event_id, ROUND(p.value, 4) AS value,
+                   i.start_ts, i.end_ts, i.promo_id
+            FROM (SELECT user_id, ts, event_id, value FROM events
+                  WHERE event_type = 'click') p
+            JOIN (SELECT user_id, ts AS start_ts,
+                         ts + INTERVAL 30 MINUTE AS end_ts,
+                         event_id AS promo_id
+                  FROM events WHERE event_type = 'purchase') i
+              ON p.user_id = i.user_id
+             AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+        """,
         "exact_dedup": r"""
             SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
                    MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
