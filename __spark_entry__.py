@@ -570,6 +570,32 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_cascade_rollup(spark, sf_dir):
+    """Hypertable continuous-aggregate cascade: 1m partials from ONE raw
+    scan, 1h from the 1m partials, 1d from the 1h partials (mergeable
+    count/sum/min/max; avg derived at read).  The oracle computes every
+    level DIRECTLY from raw rows, so the hash compare proves
+    cascade == direct (operators/rollup.py)."""
+    from featherstore_spark.operators.rollup import cascade_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return cascade_rollup(
+        ev, ts_col="ts", keys=["event_type"], value_col="value",
+        levels=("1 minute", "1 hour", "1 day"),
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (deterministic alternative to HLL —
+    value-checkable across engines): distinct users per event_type via
+    the k=64 smallest md5 hashes; bounded O(k) state per key end to end
+    (operators/sketch.py)."""
+    from featherstore_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return kmv_distinct(ev, keys="event_type", col="user_id", k=64)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-shaped hashed-unigram linear quality scorer — the
     inference plumbing of a learned classifier (tokenize → hash →
@@ -874,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "char_lm_ppl": q_char_lm_ppl,
         "interval_join": q_interval_join,
+        "cascade_rollup": q_cascade_rollup,
+        "kmv_distinct": q_kmv_distinct,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
@@ -1121,6 +1149,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ORACLE,
         "quality_classifier": _build_quality_classifier_oracle(threshold=0.0),
         "char_lm_ppl": _build_char_lm_oracle(vocab_size=256),
+        "cascade_rollup": _build_cascade_rollup_oracle(),
+        "kmv_distinct": _build_kmv_oracle(k=64),
         "interval_join": """
             SELECT p.user_id, p.ts, p.event_id, ROUND(p.value, 4) AS value,
                    i.start_ts, i.end_ts, i.promo_id
@@ -1978,6 +2008,56 @@ def _build_semantic_dedup_oracle(
         )
         SELECT a.vec_id, a.cid::INTEGER AS cluster_id, (d.drop_id IS NULL) AS keep
         FROM {final} a LEFT JOIN drops d ON a.vec_id = d.drop_id
+    """
+
+
+def _build_cascade_rollup_oracle(
+    levels: tuple[str, ...] = ("1 minute", "1 hour", "1 day")
+) -> str:
+    """Direct (non-cascaded) recomputation of every rollup level from
+    raw rows — hash equality against the Spark cascade proves the
+    mergeable-partial algebra."""
+    parts = []
+    for lvl in levels:
+        parts.append(f"""
+            SELECT '{lvl}' AS resolution, event_type,
+                   time_bucket(INTERVAL '{lvl}', ts) AS bucket_start,
+                   COUNT(*)::BIGINT AS n,
+                   ROUND(SUM(value), 4) AS sum_v,
+                   MIN(value) AS min_v, MAX(value) AS max_v,
+                   ROUND(SUM(value) / COUNT(*), 6) AS avg_v
+            FROM events GROUP BY 2, 3
+        """)
+        # direct GROUP BY per level; the Spark side only ever scans raw
+        # rows once and cascades partials upward
+    return " UNION ALL ".join(parts)
+
+
+def _build_kmv_oracle(k: int = 64) -> str:
+    """SQL twin of sketch.kmv_distinct: the k smallest distinct
+    md5_long60 hashes per key and the (k-1)*2^60/h_k estimator —
+    deterministic, so the approximate count is value-checked exactly."""
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    hv = sql_md5_long60("user_id::VARCHAR")
+    return f"""
+        WITH h AS (
+          SELECT DISTINCT event_type, {hv} AS hv
+          FROM events WHERE user_id IS NOT NULL
+        ), r AS (
+          SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h
+        ), s AS (
+          SELECT event_type, COUNT(*) AS m,
+                 MAX(CASE WHEN rn = {k} THEN hv END) AS hk
+          FROM r WHERE rn <= {k} GROUP BY event_type
+        )
+        SELECT event_type, m::BIGINT AS sketch_size,
+               CASE WHEN m < {k} THEN m::DOUBLE
+                    ELSE ROUND({float(k - 1)} * {float(1 << 60)} / hk, 6)
+               END AS est_distinct
+        FROM s
     """
 
 

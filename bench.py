@@ -62,6 +62,9 @@ HEADLINE = [
     "dedup_groups",
     "top_ngrams",
     "char_lm_ppl",
+    "interval_join",
+    "cascade_rollup",
+    "kmv_distinct",
     "cosine_topk",
     "semantic_dedup",
     "media_byte_stats",
