@@ -276,3 +276,37 @@ def test_streaming_exact_dedup_matches_batch_classes(spark, tmp_path_factory):
     got_fps = {r["fp"] for r in got.select(fingerprint("text").alias("fp")).collect()}
     exp_fps = {r["fp"] for r in batch.select(fingerprint("text").alias("fp")).distinct().collect()}
     assert got_fps == exp_fps
+
+
+def test_streaming_kmv_distinct_matches_batch(spark, transcript_dir):
+    """Deterministic sketch => streaming windowed distinct-conv estimates
+    are BIT-EQUAL to the batch sketch over the same windows (the property
+    approx_count_distinct cannot give: HLL merge order changes the
+    estimate; the k-smallest-distinct-hash set is order-free)."""
+    from featherstore_spark.functions.time import epoch_us, interval_to_us
+    from featherstore_spark.operators.sketch import kmv_distinct
+    from featherstore_spark.streaming.stream import streaming_kmv_distinct
+
+    stream = read_transcript_stream(spark, transcript_dir, max_files=2)
+    got = (
+        _run_to_memory(
+            spark,
+            streaming_kmv_distinct(stream, col="conv_id", width="5 minutes", k=8),
+            "kmvw",
+        )
+        .orderBy("window_start")
+        .toPandas()
+    )
+    w_us = interval_to_us("5 minutes")
+    batch = spark.read.parquet(transcript_dir).withColumn(
+        "window_start",
+        F.timestamp_micros((F.floor(epoch_us("ts") / w_us) * w_us).cast("long")),
+    )
+    exp = (
+        kmv_distinct(batch, keys="window_start", col="conv_id", k=8)
+        .orderBy("window_start")
+        .toPandas()
+    )
+    assert len(got) == len(exp) > 0
+    assert (got["sketch_size"].to_numpy() == exp["sketch_size"].to_numpy()).all()
+    assert (got["est_distinct"].to_numpy() == exp["est_distinct"].to_numpy()).all()
