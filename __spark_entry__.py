@@ -609,8 +609,8 @@ def q_quality_classifier(spark, sf_dir):
 
 def q_char_lm_ppl(spark, sf_dir):
     """CCNet-style perplexity quality signal: char-bigram LM trained on
-    the corpus in one map-combinable pass, docs scored by mean log-prob
-    via a broadcast literal-map lookup (zero shuffle).  The twin
+    the corpus in one map-combinable pass, docs scored by explode →
+    broadcast vocab join → map-combinable doc groupBy.  The twin
     recomputes vocab + formula from the same integers."""
     from featherstore_spark.functions.text import char_bigram_lm
 

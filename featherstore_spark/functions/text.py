@@ -702,8 +702,15 @@ def quality_classifier(
 
 def char_bigram_grams(col: Column | str) -> Column:
     """Array of character bigrams of the winnow-normalized text (shared
-    normalization => same string both engines); < 2 chars → empty."""
-    s = winnow_normalized(col)
+    normalization => same string both engines); < 2 chars → empty.
+
+    PERF CAVEAT: only apply this to a column that is ALREADY the
+    normalized string (or accept the cost): expressions embedded in a
+    HOF lambda are re-evaluated per element, so passing raw text makes
+    the normalization regex run once PER CHARACTER (measured 15 s for a
+    1.5 MB corpus vs ~1 s with the normalization materialized first —
+    char_bigram_lm does the latter)."""
+    s = F.col(col) if isinstance(col, str) else col
     n = F.length(s) - 1
     return F.when(
         n >= 1,
@@ -725,20 +732,39 @@ def char_bigram_lm(
     Train: ONE map-combinable groupBy over exploded bigrams (the shuffle
     carries per-task distinct grams, never the text); the top
     ``vocab_size`` grams by (count DESC, gram ASC) come to the driver —
-    O(vocab) state — and their log-probs ln(count/N) are inlined as ONE
-    literal map.  OOV mass is ln(0.5/N).
+    O(vocab) state — and their log-probs ln(count/N) become a broadcast
+    vocab table.  OOV mass is ln(0.5/N).
 
-    Score: zero-shuffle second pass — per-doc mean log-prob via a
-    broadcast map lookup folded in array order, no Python, no join.
+    Score: explode grams → BROADCAST-join the tiny vocab → one
+    map-combinable groupBy(doc) for the mean log-prob.  (The first cut
+    looked cheaper on paper — a literal-map lookup folded over the gram
+    array, zero shuffle — but Catalyst rebuilds a literal map/array
+    constructor PER ROW inside HOF lambdas: measured 59 s vs ~3 s at
+    sf0.1.  The join plan is the standard 'broadcast the small dim'
+    shape and its one shuffle carries doc-id partials only.)
     Outputs (id, n_grams, avg_nll, ppl) with avg_nll/ppl rounded to 6;
     empty docs score NULL.  The SQL twin recomputes the same vocab and
-    formula (same-host libm, exact-int inputs), scoring via
+    formula (same-host libm, exact-int inputs) via the same
     unnest+join — float sum-order noise (~1e-13) is far inside the
     round-6 grid."""
     import math
 
-    grams = char_bigram_grams(text_col)
-    cnts = df.select(F.explode(grams).alias("g")).groupBy("g").count()
+    # materialize the normalized string BEFORE gramming — and force it
+    # with localCheckpoint: a plain two-step select gets project-
+    # collapsed by Catalyst, re-inlining the normalization regex into
+    # the transform lambda where it re-runs once PER CHARACTER
+    # (measured 15 s -> 0.9 s at sf0.1).  The checkpoint also serves
+    # both the train and score passes (one normalization, one gram
+    # build, read twice) — the artifact a real pipeline would persist.
+    # Rebalance single-file corpora first (estimate-gated no-op at
+    # scale).
+    norm = (
+        balance_small_input(df)
+        .select(F.col(id_col), winnow_normalized(text_col).alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    gsrc = norm.select(F.col(id_col), char_bigram_grams("__s").alias("__grams"))
+    cnts = gsrc.select(F.explode("__grams").alias("g")).groupBy("g").count()
     n_total = cnts.agg(F.sum("count").alias("n")).collect()[0]["n"]
     if not n_total:
         return df.select(
@@ -748,18 +774,27 @@ def char_bigram_lm(
             F.lit(None).cast("double").alias("ppl"),
         )
     top = cnts.orderBy(F.col("count").desc(), F.col("g").asc()).limit(vocab_size).collect()
-    vocab = {r["g"]: math.log(r["count"] / n_total) for r in top}
-    oov = math.log(0.5 / n_total)
-    lm = F.map_from_arrays(
-        F.array(*[F.lit(g) for g in vocab]),
-        F.array(*[F.lit(lp) for lp in vocab.values()]),
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(r["g"], math.log(r["count"] / n_total)) for r in top], "g: string, logp: double"
     )
-    lps = F.transform(grams, lambda g: F.coalesce(F.element_at(lm, g), F.lit(oov)))
-    ng = F.size(lps)
-    avg = F.aggregate(lps, F.lit(0.0), lambda a, x: a + x) / ng
-    return df.select(
-        F.col(id_col),
-        ng.cast("long").alias("n_grams"),
-        F.when(ng > 0, F.round(-avg, 6)).alias("avg_nll"),
-        F.when(ng > 0, F.round(F.exp(-avg), 6)).alias("ppl"),
+    oov = math.log(0.5 / n_total)
+    exploded = gsrc.select(F.col(id_col), F.explode("__grams").alias("g"))
+    scored = (
+        exploded.join(F.broadcast(vocab_df), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("logp"), F.lit(oov))).alias("lsum"),
+        )
+    )
+    avg = F.col("lsum") / F.col("n_grams")
+    return (
+        df.select(F.col(id_col)).join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.round(-avg, 6).alias("avg_nll"),
+            F.round(F.exp(-avg), 6).alias("ppl"),
+        )
     )

