@@ -596,6 +596,17 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(ev, keys="event_type", col="user_id", k=64)
 
 
+def q_histogram_quantiles(spark, sf_dir):
+    """Deterministic fixed-bin histogram quantiles (the value-checkable
+    stand-in for KLL/t-digest/percentile_approx, none of which agree
+    across engines): global exact bin edges, map-combinable bin counts,
+    per-key cumsum over <= bins rows (operators/sketch.py)."""
+    from featherstore_spark.operators.sketch import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantiles(ev, keys="event_type", col="value", qs=(0.5, 0.95, 0.99), bins=128)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-shaped hashed-unigram linear quality scorer — the
     inference plumbing of a learned classifier (tokenize → hash →
@@ -902,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "cascade_rollup": q_cascade_rollup,
         "kmv_distinct": q_kmv_distinct,
+        "histogram_quantiles": q_histogram_quantiles,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
@@ -1151,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "char_lm_ppl": _build_char_lm_oracle(vocab_size=256),
         "cascade_rollup": _build_cascade_rollup_oracle(),
         "kmv_distinct": _build_kmv_oracle(k=64),
+        "histogram_quantiles": _build_histogram_quantiles_oracle(bins=128),
         "interval_join": """
             SELECT p.user_id, p.ts, p.event_id, ROUND(p.value, 4) AS value,
                    i.start_ts, i.end_ts, i.promo_id
@@ -2057,6 +2070,52 @@ def _build_kmv_oracle(k: int = 64) -> str:
                CASE WHEN m < {k} THEN m::DOUBLE
                     ELSE ROUND({float(k - 1)} * {float(1 << 60)} / hk, 6)
                END AS est_distinct
+        FROM s
+    """
+
+
+def _build_histogram_quantiles_oracle(
+    bins: int = 128, qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> str:
+    """SQL twin of sketch.histogram_quantiles: identical global edges,
+    identical IEEE bin/edge arithmetic, identical ceil(q*n) cut."""
+    from featherstore_spark.operators.sketch import _qname
+
+    hits = ",\n                 ".join(
+        f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END) AS b_{_qname(q)}"
+        for q in qs
+    )
+    ests = ",\n               ".join(
+        f"ROUND((SELECT lo FROM st) + (s.b_{_qname(q)} + 1) * (SELECT w FROM st), 6)"
+        f" AS {_qname(q)}"
+        for q in qs
+    )
+    return f"""
+        WITH src AS (
+          SELECT event_type, value::DOUBLE AS x FROM events WHERE value IS NOT NULL
+        ), st AS (
+          SELECT MIN(x) AS lo, MAX(x) AS hi, (MAX(x) - MIN(x)) / {bins} AS w FROM src
+        ), bb AS (
+          SELECT event_type,
+                 CASE WHEN (SELECT w FROM st) = 0 THEN 0
+                      ELSE LEAST(CAST(floor((x - (SELECT lo FROM st)) / (SELECT w FROM st)) AS INTEGER), {bins - 1})
+                 END AS b
+          FROM src
+        ), c AS (
+          SELECT event_type, b, COUNT(*) AS c FROM bb GROUP BY 1, 2
+        ), cum AS (
+          SELECT event_type, b, c,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM c
+        ), s AS (
+          SELECT event_type, MAX(n)::BIGINT AS n,
+                 {hits}
+          FROM cum GROUP BY event_type
+        )
+        SELECT s.event_type, s.n,
+               {ests}
         FROM s
     """
 

@@ -65,6 +65,7 @@ HEADLINE = [
     "interval_join",
     "cascade_rollup",
     "kmv_distinct",
+    "histogram_quantiles",
     "cosine_topk",
     "semantic_dedup",
     "media_byte_stats",

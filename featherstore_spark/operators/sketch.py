@@ -127,3 +127,82 @@ def kmv_estimate_py(hashes: list[int], k: int) -> float:
 # must agree (the operator casts to string in the JVM before the UDF —
 # one cast rule, Spark's).
 _ = md5_long60  # re-exported convention anchor
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile sketch (deterministic KLL/t-digest stand-in)
+# --------------------------------------------------------------------------
+
+def histogram_quantiles(
+    df: DataFrame,
+    keys: list[str] | str,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = 128,
+) -> DataFrame:
+    """Per-``keys`` quantile estimates from a fixed-bin histogram — the
+    deterministic, mergeable stand-in for KLL/t-digest (both are
+    randomized/order-dependent, so neither can be value-checked across
+    engines; ``percentile_approx`` likewise).  Fixed GLOBAL bin edges
+    make shard histograms mergeable by plain bin-count addition, and
+    every step is IEEE-identical in Spark and DuckDB, so the estimate
+    itself is hash-verifiable.
+
+    Algorithm: one exact (min, max, n) pre-pass fixes global edges
+    [lo, hi] and width w = (hi-lo)/bins; each value lands in
+    min(floor((x-lo)/w), bins-1); a map-combinable groupBy(keys, bin)
+    counts; per key a window cumsum over <= bins rows finds, for each
+    q, the first bin whose cumulative count reaches ceil(q * n_key);
+    the estimate is that bin's UPPER edge (error <= one bin width,
+    tested).  NULLs are excluded.  State: O(bins) per key end to end.
+
+    Returns (keys…, n, q<NN> …) with estimates rounded to 6."""
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    stats = df.where(F.col(col).isNotNull()).agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        out = df.select(*keys).limit(0).withColumn("n", F.lit(0).cast("long"))
+        for q in qs:
+            out = out.withColumn(_qname(q), F.lit(None).cast("double"))
+        return out
+    lo, hi = float(lo), float(hi)
+    w = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    if w == 0.0:
+        bin_expr = F.lit(0)
+    else:
+        bin_expr = F.least(
+            F.floor((x - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(bins - 1)
+        )
+    cnts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*keys, bin_expr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wspec = Window.partitionBy(*keys).orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(*keys)
+    cum = cnts.withColumn("cum", F.sum("c").over(wspec)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        hit = F.when(F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n")), F.col("b"))
+        aggs.append(F.min(hit).alias(f"__b_{_qname(q)}"))
+    out = cum.groupBy(*keys).agg(*aggs)
+    for q in qs:
+        b = F.col(f"__b_{_qname(q)}")
+        est = F.lit(lo) + (b + 1) * F.lit(w) if w != 0.0 else F.lit(lo)
+        out = out.withColumn(_qname(q), F.round(est.cast("double"), 6)).drop(
+            f"__b_{_qname(q)}"
+        )
+    return out
+
+
+def _qname(q: float) -> str:
+    return "q" + str(q).replace("0.", "").ljust(2, "0")

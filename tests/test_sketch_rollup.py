@@ -119,3 +119,58 @@ def test_cascade_scans_raw_once(spark):
     )
     assert plan.count("FileScan") == 0
     assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
+
+
+# ---------------------------- histogram quantiles ---------------------------
+
+from featherstore_spark.operators.sketch import histogram_quantiles
+
+
+def test_hist_quantiles_golden(spark):
+    """0..9 in 10 bins: every value gets its own bin, median = upper
+    edge of the 5th bin = 4.5 — exactly the true median."""
+    df = spark.createDataFrame([("a", float(i)) for i in range(10)], "k: string, v: double")
+    out = histogram_quantiles(df, "k", "v", qs=(0.5,), bins=10).collect()[0]
+    assert out["n"] == 10
+    assert out["q50"] == 4.5
+
+
+def test_hist_quantiles_constant_column(spark):
+    df = spark.createDataFrame([("a", 7.0)] * 5, "k: string, v: double")
+    out = histogram_quantiles(df, "k", "v", qs=(0.5, 0.99), bins=16).collect()[0]
+    assert out["q50"] == 7.0 and out["q99"] == 7.0
+
+
+def test_hist_quantiles_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "k: string, v: double"
+    )
+    out = histogram_quantiles(df, "k", "v", qs=(0.5,), bins=4).collect()[0]
+    assert out["n"] == 2
+
+
+def test_hist_quantiles_error_bounded_by_bin_width(spark):
+    """The estimate is the upper edge of the bin holding the
+    ceil(q*n)-th order statistic, so est ∈ [stat, stat + w] — the
+    sketch's exact guarantee (vs the DISCRETE order stat; interpolated
+    percentiles can sit bins away in sparse tails of small groups)."""
+    import math
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    bins = 128
+    stats = ev.where(F.col("value").isNotNull()).agg(
+        F.min("value"), F.max("value")
+    ).collect()[0]
+    w = (float(stats[1]) - float(stats[0])) / bins
+    est = {
+        r["event_type"]: r
+        for r in histogram_quantiles(ev, "event_type", "value", qs=(0.5, 0.95), bins=bins).collect()
+    }
+    vals = {}
+    for r in ev.where(F.col("value").isNotNull()).select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(float(r["value"]))
+    for et, r in est.items():
+        xs = sorted(vals[et])
+        for q, col in ((0.5, "q50"), (0.95, "q95")):
+            stat = xs[math.ceil(q * len(xs)) - 1]
+            assert stat - 1e-6 <= r[col] <= stat + w + 1e-6, (et, col)
