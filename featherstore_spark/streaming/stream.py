@@ -345,6 +345,47 @@ def streaming_kmv_distinct(
     )
 
 
+def streaming_histogram(
+    stream: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    keys: list[str] | None = None,
+    width: str = "5 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    bins: int = 128,
+) -> DataFrame:
+    """Windowed fixed-bin histogram — the streaming half of
+    ``sketch.histogram_quantiles``.  A stream cannot run the batch
+    operator's exact min/max pre-pass (that would need the whole
+    unbounded input), so the bin edges are EXPLICIT inputs — which is
+    also what makes shard/window histograms mergeable by plain count
+    addition, and what a production deployment pins anyway (edges from
+    yesterday's batch profile).  Same IEEE bin rule as batch:
+    min(floor((x-lo)/w), bins-1), NULLs and out-of-range-below values
+    excluded/clamped identically, so a closed window's histogram is
+    BIT-EQUAL to the batch histogram over the same rows (tested).
+    Emits (window_start, keys…, bin, n) on window close; feed the rows
+    to ``sketch`` cumsum logic (or the batch operator) for quantiles."""
+    keys = list(keys or [])
+    w = (float(hi) - float(lo)) / bins
+    x = F.col(col).cast("double")
+    if w == 0.0:
+        bin_expr = F.lit(0)
+    else:
+        bin_expr = F.least(
+            F.floor((x - F.lit(float(lo))) / F.lit(w)).cast("int"), F.lit(bins - 1)
+        )
+    return (
+        stream.where(F.col(col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(ts_col, width).alias("w"), bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *keys, "bin", "n")
+    )
+
+
 def run_stream_to_table(out_df: DataFrame, target_dir: str, checkpoint_dir: str):
     """availableNow trigger: process the whole backlog then stop — the
     streaming analogue of a batch backfill, restartable from the stream

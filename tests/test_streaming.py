@@ -310,3 +310,43 @@ def test_streaming_kmv_distinct_matches_batch(spark, transcript_dir):
     assert len(got) == len(exp) > 0
     assert (got["sketch_size"].to_numpy() == exp["sketch_size"].to_numpy()).all()
     assert (got["est_distinct"].to_numpy() == exp["est_distinct"].to_numpy()).all()
+
+
+def test_streaming_histogram_matches_batch(spark, transcript_dir):
+    """Closed-window fixed-bin histograms are bit-equal to the batch
+    bin rule over the same rows (text length binned per 5-min window)."""
+    from featherstore_spark.streaming.stream import streaming_histogram
+
+    stream = read_transcript_stream(spark, transcript_dir, max_files=2).withColumn(
+        "tlen", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    )
+    lo, hi, bins = 0.0, 2000.0, 32
+    got = (
+        _run_to_memory(
+            spark,
+            streaming_histogram(stream, "tlen", lo, hi, width="5 minutes", bins=bins),
+            "histw",
+        )
+        .toPandas()
+    )
+    w = (hi - lo) / bins
+    batch = (
+        spark.read.parquet(transcript_dir)
+        .withColumn("tlen", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double"))
+        .withColumn(
+            "window_start",
+            F.window("ts", "5 minutes").getField("start"),
+        )
+        .groupBy(
+            "window_start",
+            F.least(F.floor((F.col("tlen") - lo) / w).cast("int"), F.lit(bins - 1)).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    key = ["window_start", "bin"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    assert (g["n"].to_numpy() == b["n"].to_numpy()).all()
+    assert (g["bin"].to_numpy() == b["bin"].to_numpy()).all()
