@@ -71,6 +71,21 @@ def _build_parser(cfg: dict) -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--skew", action="store_true")
 
+    c = add_parser("corpus", help="clean/filter/dedup/redact/split a document corpus")
+    c.add_argument("--input", required=True, help="document table path (parquet)")
+    c.add_argument("--output", required=True, help="clean corpus output path")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--stages", default="c4,repetition,quality",
+                   help="comma list of heuristic filters to apply "
+                        "(c4,repetition,quality); dedup/PII/split always run")
+    c.add_argument("--near-dup", choices=["minhash", "none"], default="minhash")
+    c.add_argument("--minhash-threshold", type=float, default=0.9)
+    c.add_argument("--quality-threshold", type=float, default=-0.2)
+    c.add_argument("--split-weights", default="0.98,0.01,0.01")
+    c.add_argument("--split-names", default="train,val,test")
+    c.add_argument("--seed", type=int, default=42)
+
     s = add_parser("serve", help="serve feature sets over Arrow Flight + HTTP")
     s.add_argument("--root", default=serve_cfg["root"], help="catalog root directory")
     s.add_argument("--http-port", type=int, default=serve_cfg["http_port"])
@@ -153,6 +168,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"written": args.output, "rows": spark.read.parquet(args.output).count()}))
+        return 0
+
+    if args.cmd == "corpus":
+        from featherstore_spark.plans.corpus import corpus_pipeline
+
+        docs = spark.read.parquet(args.input)
+        out, stats = corpus_pipeline(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            stages=tuple(s for s in args.stages.split(",") if s),
+            near_dup=args.near_dup,
+            minhash_threshold=args.minhash_threshold,
+            quality_threshold=args.quality_threshold,
+            split_weights=tuple(float(w) for w in args.split_weights.split(",")),
+            split_names=tuple(args.split_names.split(",")),
+            seed=args.seed,
+        )
+        # split is the partition column: downstream loaders read ONE
+        # split dir without scanning the others (partition pruning)
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        print(json.dumps({"output": args.output, **stats}))
         return 0
 
     # materialize

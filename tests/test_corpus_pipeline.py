@@ -1,0 +1,109 @@
+"""End-to-end corpus pipeline (plans/corpus.py + `corpus` CLI).
+
+A crafted corpus where every stage has a known victim: the funnel
+counts, the survivor set, the redacted bytes and the split partitioning
+are all asserted exactly."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from featherstore_spark.plans.corpus import corpus_pipeline
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog near the river bank today.\n"
+    "Maple trees shed their bright red leaves when autumn winds arrive early.\n"
+    "Seven sailors carried heavy wooden crates across the narrow harbor bridge.\n"
+    "Quiet mornings reward patient readers with long uninterrupted thinking time."
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rep_line = "This exact sentence repeats itself in the document body again today.\n"
+    rows = [
+        (1, GOOD),                                  # survives everything
+        (2, GOOD),                                  # exact dup of 1 -> dropped
+        (3, GOOD + " Contact me at jane.doe@example.com for more details soon."),
+        # near-dup of 1 (one extra sentence) -> dropped by minhash at 0.6
+        (4, "short no punct"),                      # C4 kills (no terminal-punct 5-word line)
+        (5, rep_line * 8),                          # repetition filter kills
+        (6, None),                                  # null text -> C4 kills
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_funnel_and_survivors(spark, corpus):
+    out, stats = corpus_pipeline(
+        corpus, minhash_threshold=0.6, quality_threshold=-1.0
+    )
+    assert stats["input"] == 6
+    assert stats["after_c4"] == 4          # 4 (no sentence line), 6 (null) die
+    assert stats["after_repetition"] == 3  # 5 dies
+    assert stats["after_quality"] == 3     # threshold -1: none die
+    assert stats["after_exact_dedup"] == 2  # 2 is a byte-dup of 1
+    assert stats["after_near_dedup"] == 1   # 3 is a near-dup of 1; min id 1 kept
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1]
+
+
+def test_pii_redaction_and_passthrough(spark, corpus):
+    out, stats = corpus_pipeline(
+        corpus.withColumn("lang", F.lit("en")),
+        near_dup="none",
+        minhash_threshold=0.6,
+        quality_threshold=-1.0,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # near_dup='none': doc 3 survives and its email is redacted
+    assert 3 in rows
+    assert "<EMAIL>" in rows[3]["text"] and "@example.com" not in rows[3]["text"]
+    assert rows[3]["n_email"] == 1 and rows[3]["has_pii"]
+    assert stats["pii_redactions"] >= 1
+    assert rows[1]["lang"] == "en"  # passthrough column preserved
+
+
+def test_stage_toggles(spark, corpus):
+    out, stats = corpus_pipeline(corpus, stages=(), near_dup="none")
+    # no heuristic filters: only the null-text doc still flows through
+    # (clean_text '' is not an exact dup of anything non-empty) and
+    # exact dedup still removes the byte-dup
+    assert stats["after_c4"] == stats["input"] == 6
+    assert stats["after_exact_dedup"] == 5  # doc 2 still deduped
+    with pytest.raises(ValueError, match="unknown stages"):
+        corpus_pipeline(corpus, stages=("c4", "qualty"))
+
+
+def test_split_is_deterministic_and_partitioned(spark, corpus, tmp_path):
+    out, _ = corpus_pipeline(corpus, stages=(), near_dup="none")
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in corpus_pipeline(corpus, stages=(), near_dup="none")[0].collect()}
+    assert a == b
+
+
+def test_cli_corpus_roundtrip(spark, tmp_path):
+    from featherstore_spark import cli
+
+    src = str(tmp_path / "docs")
+    dst = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [(i, GOOD + f" Unique closing sentence number {i} ends the document here.")
+         for i in range(8)],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    rc = cli.main([
+        "corpus", "--input", src, "--output", dst,
+        "--near-dup", "none", "--quality-threshold", "-1.0",
+        "--split-weights", "0.5,0.25,0.25",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(dst)
+    assert back.count() == 8
+    assert "split" in back.columns
+    # split is a physical partition directory (pruned reads)
+    import os
+
+    assert any(d.startswith("split=") for d in os.listdir(dst))
