@@ -102,7 +102,7 @@ def corpus_pipeline(
 
     # 3. quality score — pure expr, no join (score always emitted;
     #    only the FILTER is stage-gated)
-    score, _n = hashed_linear_score(F.col("clean_text"), seed=seed)
+    score, _ntok = hashed_linear_score(F.col("clean_text"), seed=seed)
     base = base.withColumn("q_score", score).withColumn(
         "quality_keep",
         (F.col("q_score") >= F.lit(float(quality_threshold)))
@@ -136,16 +136,16 @@ def corpus_pipeline(
         base = base.withColumn("near_keep", F.col("exact_keep"))
 
     # funnel report: ONE aggregation over the flags
-    def _n(cond):
+    def _cnt(cond):
         return F.sum(F.expr(cond).cast("long"))
 
     stats_row = base.agg(
         F.count(F.lit(1)).alias("input"),
-        _n("c4_keep").alias("after_c4"),
-        _n("c4_keep AND repetition_ok").alias("after_repetition"),
-        _n("c4_keep AND repetition_ok AND quality_keep").alias("after_quality"),
-        _n("exact_keep").alias("after_exact_dedup"),
-        _n("near_keep").alias("after_near_dedup"),
+        _cnt("c4_keep").alias("after_c4"),
+        _cnt("c4_keep AND repetition_ok").alias("after_repetition"),
+        _cnt("c4_keep AND repetition_ok AND quality_keep").alias("after_quality"),
+        _cnt("exact_keep").alias("after_exact_dedup"),
+        _cnt("near_keep").alias("after_near_dedup"),
     ).collect()[0]
 
     # 6. PII redaction LAST (tokens must not perturb dedup fingerprints),

@@ -107,3 +107,41 @@ def test_cli_corpus_roundtrip(spark, tmp_path):
     import os
 
     assert any(d.startswith("split=") for d in os.listdir(dst))
+
+
+def test_minhash_path_with_no_near_dups(spark):
+    """Unique docs: the minhash stage finds zero pairs and the empty
+    edge set must flow through connected components without error."""
+    texts = [
+        "Granite cliffs overlook the silver bay where fishing boats gather at dawn.\n"
+        "Lighthouse keepers trade stories about storms that never reached the shore.\n"
+        "Salt spray paints the harbor railings white before the tide turns again.",
+        "Desert caravans follow ancient star maps across the endless rolling dunes.\n"
+        "Merchants barter copper lanterns for sweet dates beneath the canvas tents.\n"
+        "Night winds carry distant drum songs over the moonlit caravan camp.",
+        "Mountain railways climb through pine forests toward the snowcapped summit.\n"
+        "Engineers inspect every wooden trestle before the morning passenger run.\n"
+        "Steam whistles echo down the valley as the first carriages depart.",
+        "River otters build their dens beneath the roots of flooded willow trees.\n"
+        "Biologists count the playful pups during the quiet weeks of early spring.\n"
+        "Field notebooks fill with sketches of webbed tracks along the muddy bank.",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string"
+    )
+    out, stats = corpus_pipeline(docs, quality_threshold=-1.0)
+    assert stats["after_near_dedup"] == stats["after_exact_dedup"] == 4
+    assert out.count() == 4
+
+
+def test_all_docs_filtered_is_shape_stable(spark):
+    """Every doc dies at C4: the pipeline must return an EMPTY frame
+    with the full output schema, zero redactions, no stage crashing on
+    the empty survivor set."""
+    docs = spark.createDataFrame(
+        [(1, "no punct here"), (2, None)], "doc_id: long, text: string"
+    )
+    out, stats = corpus_pipeline(docs)
+    assert stats["after_c4"] == 0 and stats["after_near_dedup"] == 0
+    assert out.count() == 0
+    assert {"text", "split", "q_score", "n_email"} <= set(out.columns)
