@@ -79,6 +79,9 @@ def _build_parser(cfg: dict) -> argparse.ArgumentParser:
     c.add_argument("--stages", default="c4,repetition,quality",
                    help="comma list of heuristic filters to apply "
                         "(c4,repetition,quality); dedup/PII/split always run")
+    c.add_argument("--target-langs", default=None,
+                   help="comma list (en,de,…): keep only docs lang_id classifies "
+                        "into these languages")
     c.add_argument("--near-dup", choices=["minhash", "none"], default="minhash")
     c.add_argument("--minhash-threshold", type=float, default=0.9)
     c.add_argument("--quality-threshold", type=float, default=-0.2)
@@ -179,6 +182,9 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
             stages=tuple(s for s in args.stages.split(",") if s),
+            target_langs=(
+                tuple(args.target_langs.split(",")) if args.target_langs else None
+            ),
             near_dup=args.near_dup,
             minhash_threshold=args.minhash_threshold,
             quality_threshold=args.quality_threshold,

@@ -34,6 +34,7 @@ def corpus_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     stages: tuple[str, ...] = ("c4", "repetition", "quality"),
+    target_langs: tuple[str, ...] | None = None,
     near_dup: str = "minhash",
     minhash_threshold: float = 0.9,
     quality_threshold: float = -0.2,
@@ -55,10 +56,15 @@ def corpus_pipeline(
     stages, not heuristics.  C4's line-level cleaning only applies when
     its stage is on (the cleaner and its doc filter are one semantic —
     a corpus that isn't sentence-shaped, e.g. code, should skip both).
+
+    ``target_langs``: when set, keep only docs whose n-gram ``lang_id``
+    (stopword argmax over the RAW text — redaction/cleaning must not
+    bias the vote) is in the set; applied as the first funnel stage.
     """
     from featherstore_spark.functions.text import (
         c4_line_clean,
         hashed_linear_score,
+        lang_id,
         pii_scrub,
         repetition_stats,
     )
@@ -78,15 +84,24 @@ def corpus_pipeline(
 
     passthrough = [c for c in df.columns if c not in (id_col, text_col)]
 
+    # 0. language gate on the RAW text (cleaning/redaction must not
+    #    bias the stopword vote); lang_keep joins the funnel conjunction
+    if target_langs:
+        df = df.withColumn(
+            "__lang_keep", lang_id(F.col(text_col)).isin(*[str(l) for l in target_langs])
+        )
+    else:
+        df = df.withColumn("__lang_keep", F.lit(True))
+
     # 1. structural clean + doc-level C4 flag
     if "c4" in stages:
         c4 = c4_line_clean(df, id_col=id_col, text_col=text_col).select(
             id_col, "clean_text", "c4_keep"
         )
-        base = df.select(id_col, *passthrough).join(c4, id_col)
+        base = df.select(id_col, *passthrough, "__lang_keep").join(c4, id_col)
     else:
         base = df.select(
-            id_col, *passthrough,
+            id_col, *passthrough, "__lang_keep",
             F.coalesce(F.col(text_col), F.lit("")).alias("clean_text"),
             F.lit(True).alias("c4_keep"),
         )
@@ -110,7 +125,7 @@ def corpus_pipeline(
         else F.lit(True),
     )
 
-    surv = base.where("c4_keep AND repetition_ok AND quality_keep")
+    surv = base.where("__lang_keep AND c4_keep AND repetition_ok AND quality_keep")
 
     # 4. exact dedup among survivors (md5 fingerprint groupBy; min-id kept)
     winners = exact_duplicates(
@@ -141,9 +156,10 @@ def corpus_pipeline(
 
     stats_row = base.agg(
         F.count(F.lit(1)).alias("input"),
-        _cnt("c4_keep").alias("after_c4"),
-        _cnt("c4_keep AND repetition_ok").alias("after_repetition"),
-        _cnt("c4_keep AND repetition_ok AND quality_keep").alias("after_quality"),
+        _cnt("__lang_keep").alias("after_lang"),
+        _cnt("__lang_keep AND c4_keep").alias("after_c4"),
+        _cnt("__lang_keep AND c4_keep AND repetition_ok").alias("after_repetition"),
+        _cnt("__lang_keep AND c4_keep AND repetition_ok AND quality_keep").alias("after_quality"),
         _cnt("exact_keep").alias("after_exact_dedup"),
         _cnt("near_keep").alias("after_near_dedup"),
     ).collect()[0]

@@ -145,3 +145,20 @@ def test_all_docs_filtered_is_shape_stable(spark):
     assert stats["after_c4"] == 0 and stats["after_near_dedup"] == 0
     assert out.count() == 0
     assert {"text", "split", "q_score", "n_email"} <= set(out.columns)
+
+
+def test_language_gate(spark):
+    """target_langs keeps only docs whose stopword vote lands in the
+    set; the gate runs on RAW text and leads the funnel."""
+    en = ("The ship and the crew wait for the tide that is low today.\n"
+          "It is a long day for the men and the gulls in the harbor.\n"
+          "That is the way of the sea and it is not for everyone.")
+    de = ("Der Kapitän und die Mannschaft sind nicht mit dem Wetter zufrieden.\n"
+          "Das Schiff ist ein alter Kahn und die Reise ist nicht leicht.\n"
+          "Die Möwen fliegen mit dem Wind und das Meer ist nicht ruhig.")
+    docs = spark.createDataFrame([(1, en), (2, de)], "doc_id: long, text: string")
+    out, stats = corpus_pipeline(
+        docs, stages=(), near_dup="none", target_langs=("en",)
+    )
+    assert stats["input"] == 2 and stats["after_lang"] == 1
+    assert [r["doc_id"] for r in out.collect()] == [1]
