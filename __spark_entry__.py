@@ -2015,9 +2015,15 @@ def _build_semantic_dedup_oracle(
           SELECT a.vec_id, a.cid, q.fv FROM {final} a JOIN q0 q USING (vec_id)
         ),
         drops AS (
+          -- zero-norm guard: Spark's _cos returns 0.0 for a zero vector,
+          -- but list_cosine_similarity yields NaN and DuckDB's total
+          -- float order ranks NaN above every threshold — mirror the
+          -- operator's 0.0 semantics explicitly
           SELECT DISTINCT y.vec_id AS drop_id
           FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
-          WHERE ROUND(list_cosine_similarity(x.fv, y.fv), 6) >= {threshold}
+          WHERE ROUND(CASE WHEN isnan(list_cosine_similarity(x.fv, y.fv)) THEN 0.0
+                           ELSE list_cosine_similarity(x.fv, y.fv) END, 6)
+                >= {threshold}
         )
         SELECT a.vec_id, a.cid::INTEGER AS cluster_id, (d.drop_id IS NULL) AS keep
         FROM {final} a LEFT JOIN drops d ON a.vec_id = d.drop_id

@@ -54,11 +54,31 @@ def quantize_vec(vec_col, dim: int, scale: int = Q_SCALE, offset: float = Q_OFFS
 
     The float->double cast, the add and the multiply are all IEEE-754
     double ops — bit-identical in Spark and DuckDB — and floor of a
-    double is exact, so both engines quantize to the same ints."""
+    double is exact, so both engines quantize to the same ints.
+
+    The fixed-point contract is ENFORCED, not assumed: vectors must
+    have exactly ``dim`` non-null elements and every quantized value
+    must be non-negative (inputs > -offset) — otherwise Python floor
+    division and the oracle's truncating division diverge and the
+    bit-exactness silently breaks.  Violations raise inside the job
+    (the packing.py in-expression raise_error discipline)."""
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
-    return F.transform(
+    q = F.transform(
         v, lambda x: F.floor((x + F.lit(float(offset))) * F.lit(float(scale))).cast("long")
     )
+    bad = (
+        (F.size(v) != F.lit(int(dim)))
+        | F.exists(v, lambda x: x.isNull())
+        | F.exists(q, lambda e: e < 0)
+    )
+    err = F.raise_error(
+        F.lit(
+            f"kmeans quantize: every vector needs exactly {dim} non-null "
+            f"elements > {-offset} (fixed-point cross-engine contract, "
+            "clustering.py docstring) — got a null, short, or out-of-range vector"
+        )
+    )
+    return F.when(bad, err.cast("array<long>")).otherwise(q)
 
 
 def _assign_expr(centroids: list[list[int]]):

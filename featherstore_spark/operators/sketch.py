@@ -56,6 +56,16 @@ def _kmv_partials_gen(keys: list[str], k: int):
     return gen
 
 
+def kmv_merge_agg(col: str, k: int):
+    """The ONE merge rule every KMV path uses (batch build, cross-shard
+    merge, streaming window agg): union the partial hash arrays, keep
+    the k smallest distinct — kept in a single helper so the three
+    paths can never silently diverge."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))), 1, k
+    ).alias("sketch")
+
+
 def kmv_sketch(
     df: DataFrame, keys: list[str] | str, col: str, k: int = 256
 ) -> DataFrame:
@@ -69,22 +79,14 @@ def kmv_sketch(
     partials = src.mapInPandas(
         _kmv_partials_gen(keys, k), schema=f"{schema}, partial array<long>"
     )
-    return partials.groupBy(*keys).agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("partial")))), 1, k
-        ).alias("sketch")
-    )
+    return partials.groupBy(*keys).agg(kmv_merge_agg("partial", k))
 
 
 def kmv_merge(sketches: DataFrame, keys: list[str] | str, k: int = 256) -> DataFrame:
     """Merge sketches (same schema as kmv_sketch output) across rows of
     the same keys — union the hash sets, keep the k smallest."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    return sketches.groupBy(*keys).agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("sketch")))), 1, k
-        ).alias("sketch")
-    )
+    return sketches.groupBy(*keys).agg(kmv_merge_agg("sketch", k))
 
 
 def kmv_estimate(sketch_col, k: int = 256):

@@ -81,6 +81,17 @@ def corpus_pipeline(
     if unknown:
         raise ValueError(f"unknown stages {sorted(unknown)} (a typo would "
                          "silently skip a filter)")
+    if target_langs is not None:
+        from featherstore_spark.functions.text import STOPWORDS
+
+        target_langs = tuple(str(l).strip() for l in target_langs if str(l).strip())
+        known = set(STOPWORDS) | {"und"}
+        bad = set(target_langs) - known
+        if bad:
+            raise ValueError(
+                f"unknown target_langs {sorted(bad)}: lang_id only emits "
+                f"{sorted(known)} — a typo would silently drop a language"
+            )
 
     passthrough = [c for c in df.columns if c not in (id_col, text_col)]
 
@@ -140,7 +151,9 @@ def corpus_pipeline(
         exact_surv = surv.join(winners.select(id_col), id_col, "left_semi").select(
             id_col, F.col("clean_text").alias("text")
         )
-        pairs = minhash_near_duplicates(exact_surv, threshold=minhash_threshold)
+        pairs = minhash_near_duplicates(
+            exact_surv, id_col=id_col, threshold=minhash_threshold
+        )
         near_kept = drop_near_duplicate_groups(
             exact_surv.select(id_col), pairs.select("id_a", "id_b"), id_col=id_col
         ).withColumn("near_rep", F.lit(True))
@@ -149,6 +162,12 @@ def corpus_pipeline(
         ).drop("near_rep")
     else:
         base = base.withColumn("near_keep", F.col("exact_keep"))
+
+    # base now feeds THREE consumers (funnel agg, the kept->scrub->write
+    # lineage, and the pii count) — materialize it once so the dedup
+    # joins and filter exprs never re-execute per action (the rollup/
+    # char_bigram_lm multi-consumer discipline)
+    base = base.localCheckpoint(eager=True)
 
     # funnel report: ONE aggregation over the flags
     def _cnt(cond):

@@ -311,7 +311,11 @@ def streaming_kmv_distinct(
     Emits (window_start, keys…, sketch_size, est_distinct) on window
     close (append mode)."""
     from featherstore_spark.functions.time import epoch_us, interval_to_us
-    from featherstore_spark.operators.sketch import _kmv_partials_gen, kmv_estimate
+    from featherstore_spark.operators.sketch import (
+        _kmv_partials_gen,
+        kmv_estimate,
+        kmv_merge_agg,
+    )
 
     keys = list(keys or [])
     w_us = interval_to_us(width)
@@ -329,13 +333,7 @@ def streaming_kmv_distinct(
     merged = (
         partials.withWatermark("window_start", watermark)
         .groupBy(*keys, F.window("window_start", width).alias("w"))
-        .agg(
-            F.slice(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list("partial")))),
-                1,
-                k,
-            ).alias("sketch")
-        )
+        .agg(kmv_merge_agg("partial", k))
     )
     return merged.select(
         F.col("w.start").alias("window_start"),
@@ -367,15 +365,25 @@ def streaming_histogram(
     excluded/clamped identically, so a closed window's histogram is
     BIT-EQUAL to the batch histogram over the same rows (tested).
     Emits (window_start, keys…, bin, n) on window close; feed the rows
-    to ``sketch`` cumsum logic (or the batch operator) for quantiles."""
+    to ``sketch`` cumsum logic (or the batch operator) for quantiles.
+
+    Values outside [lo, hi] clamp into the edge bins (0 / bins-1) —
+    with EXPLICIT edges both tails can overflow, and clamping (rather
+    than dropping) keeps every count so merged totals still equal row
+    counts; the batch operator only ever clamps the top because its lo
+    is the true data min."""
     keys = list(keys or [])
     w = (float(hi) - float(lo)) / bins
     x = F.col(col).cast("double")
     if w == 0.0:
         bin_expr = F.lit(0)
     else:
-        bin_expr = F.least(
-            F.floor((x - F.lit(float(lo))) / F.lit(w)).cast("int"), F.lit(bins - 1)
+        bin_expr = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((x - F.lit(float(lo))) / F.lit(w)).cast("int"),
+                F.lit(bins - 1),
+            ),
         )
     return (
         stream.where(F.col(col).isNotNull())

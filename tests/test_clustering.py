@@ -115,3 +115,18 @@ def test_contract_plans_are_equi_join_shaped(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         # the assignment is pure JVM expression work — no Python in plan
         assert "BatchEvalPython" not in plan, name
+
+
+def test_quantize_contract_enforced(spark):
+    """Out-of-range / null / wrong-length vectors fail LOUDLY — silent
+    acceptance would break the cross-engine fixed-point contract
+    (Python floor-division vs DuckDB truncating division diverge on
+    negatives)."""
+    for rows in (
+        [(1, [-1.5] * 8)],            # below -offset
+        [(1, [0.1] * 7)],             # wrong length
+        [(1, [0.1] * 7 + [None])],    # null element
+    ):
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        with pytest.raises(Exception, match="fixed-point"):
+            kmeans_fit_assign(df, k=1, iters=0, dim=8)[0].collect()

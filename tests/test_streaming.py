@@ -350,3 +350,17 @@ def test_streaming_histogram_matches_batch(spark, transcript_dir):
     assert len(g) == len(b) > 0
     assert (g["n"].to_numpy() == b["n"].to_numpy()).all()
     assert (g["bin"].to_numpy() == b["bin"].to_numpy()).all()
+
+
+def test_streaming_histogram_clamps_both_tails(spark, transcript_dir):
+    """With explicit edges both tails can overflow — they must clamp
+    into bins 0 / bins-1, never go negative or past the top."""
+    from featherstore_spark.streaming.stream import streaming_histogram
+
+    stream = read_transcript_stream(spark, transcript_dir, max_files=2).withColumn(
+        "v", (F.col("turn_idx") - F.lit(5)).cast("double")  # negatives guaranteed
+    )
+    got = _run_to_memory(
+        spark, streaming_histogram(stream, "v", lo=0.0, hi=4.0, bins=4), "histclamp"
+    ).toPandas()
+    assert got["bin"].min() >= 0 and got["bin"].max() <= 3
