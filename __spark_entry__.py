@@ -596,6 +596,29 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(ev, keys="event_type", col="user_id", k=64)
 
 
+def q_temperature_resample(spark, sf_dir):
+    """Temperature-based domain mixing (sampling.temperature_resample):
+    per-language share moves p^(1/T)/Z with T=2, realized
+    deterministically as floor(m) copies + md5-coin fractional copy.
+    Full SQL twin recomputes counts, pow and integer thresholds."""
+    from featherstore_spark.operators.sampling import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_resample(docs, "lang", temperature=2.0)
+    return out.select("doc_id", "lang", "rep_idx")
+
+
+def q_tokenize_ids(spark, sf_dir):
+    """Corpus-induced vocab encoding (text.tokenize_ids): BPE-ish lexer
+    → top-V vocab by (count DESC, token ASC) → per-doc id arrays via
+    posexplode + broadcast join + ordered reassembly; OOV encodes as V.
+    The twin recomputes the identical vocab and arrays."""
+    from featherstore_spark.functions.text import tokenize_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenize_ids(docs, vocab_size=512)
+
+
 def q_histogram_quantiles(spark, sf_dir):
     """Deterministic fixed-bin histogram quantiles (the value-checkable
     stand-in for KLL/t-digest/percentile_approx, none of which agree
@@ -914,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_rollup": q_cascade_rollup,
         "kmv_distinct": q_kmv_distinct,
         "histogram_quantiles": q_histogram_quantiles,
+        "tokenize_ids": q_tokenize_ids,
+        "temperature_resample": q_temperature_resample,
         "exact_dedup": q_exact_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
@@ -1164,6 +1189,8 @@ def oracle_sql() -> dict[str, str]:
         "cascade_rollup": _build_cascade_rollup_oracle(),
         "kmv_distinct": _build_kmv_oracle(k=64),
         "histogram_quantiles": _build_histogram_quantiles_oracle(bins=128),
+        "tokenize_ids": _build_tokenize_ids_oracle(vocab_size=512),
+        "temperature_resample": _build_temperature_resample_oracle(temperature=2.0),
         "interval_join": """
             SELECT p.user_id, p.ts, p.event_id, ROUND(p.value, 4) AS value,
                    i.start_ts, i.end_ts, i.promo_id
@@ -2077,6 +2104,88 @@ def _build_kmv_oracle(k: int = 64) -> str:
                     ELSE ROUND({float(k - 1)} * {float(1 << 60)} / hk, 6)
                END AS est_distinct
         FROM s
+    """
+
+
+def _build_temperature_resample_oracle(temperature: float = 2.0, seed: int = 42) -> str:
+    """SQL twin of sampling.temperature_resample over (documents, lang):
+    identical count→pow→multiplier chain (same-host libm pow, the
+    char-LM ln precedent), identical integer floor thresholds, identical
+    md5 'tmix' coin, identical sequence expansion."""
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    coin = sql_md5_long60(f"'tmix:{seed}:'||doc_id::VARCHAR")
+    inv_t = repr(1.0 / float(temperature))
+    return f"""
+        WITH cnt AS (
+          SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+        ), tot AS (
+          SELECT SUM(n)::DOUBLE AS N FROM cnt
+        ), wts AS (
+          SELECT lang, n, pow(n::DOUBLE / (SELECT N FROM tot), {inv_t}) AS w
+          FROM cnt
+        ), zz AS (
+          SELECT SUM(w) AS z FROM wts
+        ), par AS (
+          SELECT lang,
+                 ((w / (SELECT z FROM zz)) * (SELECT N FROM tot)) / n AS m
+          FROM wts
+        ), pp AS (
+          -- floor before the BIGINT cast: DuckDB's double->int cast
+          -- ROUNDS, Python's int() truncates
+          SELECT lang, CAST(floor(m) AS INTEGER) AS base,
+                 CAST(floor((m - floor(m)) * {float(1 << 60)}) AS BIGINT) AS thr
+          FROM par
+        ), rr AS (
+          SELECT d.doc_id, d.lang,
+                 p.base + CASE WHEN {coin} < p.thr THEN 1 ELSE 0 END AS reps
+          FROM documents d JOIN pp p USING (lang)
+        )
+        SELECT doc_id, lang,
+               unnest(generate_series(0, reps - 1))::INTEGER AS rep_idx
+        FROM rr WHERE reps >= 1
+    """
+
+
+def _build_tokenize_ids_oracle(vocab_size: int = 512) -> str:
+    """SQL twin of text.tokenize_ids: identical lexer regex (ASCII-
+    explicit, Java/RE2 same), identical top-V vocab rule, identical
+    OOV id (= actual vocab size), arrays reassembled in token order."""
+    from featherstore_spark.functions.text import BPE_TOKEN_RE
+
+    # DuckDB string literals do NOT process backslash escapes — embed raw
+    pat = BPE_TOKEN_RE
+    return rf"""
+        WITH tk AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '{pat}') AS toks
+          FROM documents
+        ), e AS (
+          SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+          FROM tk
+        ), cnt AS (
+          SELECT t, COUNT(*) AS c FROM e GROUP BY t
+        ), vocab AS (
+          SELECT t, rn - 1 AS tid FROM (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM cnt
+          ) WHERE rn <= {vocab_size}
+        ), vs AS (
+          SELECT COUNT(*) AS oov_id FROM vocab
+        ), enc AS (
+          SELECT e.doc_id,
+                 list(COALESCE(v.tid, (SELECT oov_id FROM vs))::INTEGER
+                      ORDER BY e.pos) AS token_ids,
+                 COUNT(*)::BIGINT AS n_tokens,
+                 ROUND(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                       / COUNT(*), 6) AS oov_frac
+          FROM e LEFT JOIN vocab v USING (t)
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(enc.token_ids, []::INTEGER[]) AS token_ids,
+               COALESCE(enc.n_tokens, 0)::BIGINT AS n_tokens,
+               COALESCE(enc.oov_frac, 0.0) AS oov_frac
+        FROM documents d LEFT JOIN enc USING (doc_id)
     """
 
 

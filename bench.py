@@ -61,6 +61,8 @@ HEADLINE = [
     "char_ngram_jaccard",
     "dedup_groups",
     "top_ngrams",
+    "tokenize_ids",
+    "temperature_resample",
     "char_lm_ppl",
     "interval_join",
     "cascade_rollup",

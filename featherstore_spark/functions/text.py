@@ -798,3 +798,70 @@ def char_bigram_lm(
             F.round(F.exp(-avg), 6).alias("ppl"),
         )
     )
+
+
+def tokenize_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Corpus-induced vocabulary encoding: lowercased BPE-ish lexer
+    tokens (``BPE_TOKEN_RE`` — ASCII-explicit, Java/RE2 identical), the
+    top ``vocab_size`` tokens by (count DESC, token ASC) become ids
+    0..V-1, everything else encodes as the OOV id V.  The id arrays are
+    what ``operators/packing.pack_sequences`` concatenates into training
+    windows; with a real learned BPE the merges table would replace the
+    induced vocab and the plumbing below is unchanged.
+
+    Train: one map-combinable token count (the shuffle carries per-task
+    distinct tokens), top-V to the driver — O(vocab) state.  Encode:
+    posexplode → BROADCAST vocab join → per-doc reassembly via
+    sort_array(collect_list(struct(pos, id))) — the join pattern, not a
+    literal map (Catalyst rebuilds literal maps per row inside HOF
+    lambdas; see SURVEY §4 pitfalls).  Output (id, token_ids, n_tokens,
+    oov_frac round-6); empty docs get empty arrays, not NULL."""
+    # F.lit pattern, NOT an F.expr-embedded string — Spark SQL string
+    # literals process backslash escapes, which would corrupt the \s
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(BPE_TOKEN_RE), F.lit(0)
+    )
+    src = df.select(F.col(id_col), toks.alias("__toks"))
+    cnts = src.select(F.explode("__toks").alias("t")).groupBy("t").count()
+    top = cnts.orderBy(F.col("count").desc(), F.col("t").asc()).limit(vocab_size).collect()
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(r["t"], i) for i, r in enumerate(top)], "t: string, tid: int"
+    )
+    oov_id = len(top)
+    pos = src.select(F.col(id_col), F.posexplode("__toks").alias("pos", "t"))
+    enc = (
+        pos.join(F.broadcast(vocab_df), "t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce(F.col("tid"), F.lit(oov_id)).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("tid"),
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tid").isNull().cast("int")) / F.count(F.lit(1)), 6
+            ).alias("oov_frac"),
+        )
+    )
+    return (
+        df.select(F.col(id_col)).join(enc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("oov_frac", F.lit(0.0)).alias("oov_frac"),
+        )
+    )

@@ -111,3 +111,80 @@ def split_assign(
     for name, cut in zip(names[:-1][::-1], cuts[::-1]):
         expr = F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual/data-mixing
+    rule of Lample & Conneau 2019 §3.1, used by LLaMA-class corpus
+    builds): resample so domain d's share moves from p_d to
+    p_d^(1/T) / Z — T > 1 upsamples rare domains and downsamples
+    dominant ones while preserving the expected corpus size.
+
+    Deterministic realization (no RNG): the per-domain multiplier
+    m_d = (p_d^(1/T)/Z) · N / n_d splits into floor(m_d) whole copies
+    plus one extra copy iff the row's md5 coin falls under
+    frac(m_d)·2^60 — an integer threshold, same coin family as
+    hash_sample, so re-runs and engines agree row-for-row; m_d < 1
+    downsamples by the same rule (0 or 1 copies).  Output = input
+    columns + rep_idx (0-based copy index, so replicated rows stay
+    distinguishable and downstream shuffles don't collapse them).
+
+    Plan shape: one map-combinable domain count (collected — O(domains)
+    driver state), then ONE projection with a broadcast domain->
+    (base, threshold) join and an explode of sequence(0, reps-1) —
+    no other shuffle at any scale.  The SQL twin recomputes the same
+    counts, pow (same-host libm, the char-LM ln precedent) and integer
+    thresholds."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(domain_col).count().collect()
+    n_total = sum(r["count"] for r in counts)
+    if n_total == 0:
+        return df.withColumn("rep_idx", F.lit(0)).limit(0)
+    inv_t = 1.0 / float(temperature)
+    # sum in deterministic domain order so the Python Z matches the
+    # oracle's SUM to the last ulp modulo aggregation order (~1e-16)
+    rows = sorted((r[domain_col], int(r["count"])) for r in counts)
+    ws = {d: pow(n / n_total, inv_t) for d, n in rows}
+    z = sum(ws[d] for d, _ in rows)
+    spec = []
+    for d, n in rows:
+        m = ((ws[d] / z) * n_total) / n
+        base = int(m)
+        thr = int((m - base) * _SCALE)
+        spec.append((d, base, thr))
+    spark = df.sparkSession
+    spec_df = spark.createDataFrame(
+        spec, f"{domain_col}: string, __base: int, __thr: long"
+    )
+    coin = _u60_tagged(id_col, f"tmix:{seed}")
+    reps = (F.col("__base") + F.when(coin < F.col("__thr"), 1).otherwise(0)).alias(
+        "__reps"
+    )
+    with_reps = df.join(F.broadcast(spec_df), domain_col).select(*df.columns, reps)
+    return (
+        with_reps.withColumn(
+            "rep_idx",
+            F.explode(
+                F.when(
+                    F.col("__reps") >= 1,
+                    F.sequence(F.lit(0), F.col("__reps") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("__reps")
+    )
+
+
+def _u60_tagged(key_col: str, tag: str) -> Column:
+    """Tagged sampling coin: md5_long60('tag:key') — a distinct coin
+    family per operator so composed pipelines never reuse a coin."""
+    return md5_long60(
+        F.concat(F.lit(tag), F.lit(":"), F.col(key_col).cast("string"))
+    )
