@@ -271,3 +271,21 @@ def test_top_ngrams_shape(spark):
     assert "Join" not in plan
     # distinct-doc count = the standard two-exchange expansion; nothing else
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_tokenize_ids_vocab_is_broadcast(spark):
+    df = entry_mod.queries()["tokenize_ids"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the vocab side must broadcast — a shuffled vocab join would move
+    # the whole token stream twice
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_temperature_resample_single_broadcast_join(spark):
+    df = entry_mod.queries()["temperature_resample"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
