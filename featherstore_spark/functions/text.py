@@ -826,7 +826,14 @@ def tokenize_ids(
     toks = F.regexp_extract_all(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(BPE_TOKEN_RE), F.lit(0)
     )
-    src = df.select(F.col(id_col), toks.alias("__toks"))
+    # two consumers (vocab count + encode): run the regex lexer ONCE —
+    # the same multi-consumer localCheckpoint discipline (and single-file
+    # rebalance) as char_bigram_lm above
+    src = (
+        balance_small_input(df)
+        .select(F.col(id_col), toks.alias("__toks"))
+        .localCheckpoint(eager=True)
+    )
     cnts = src.select(F.explode("__toks").alias("t")).groupBy("t").count()
     top = cnts.orderBy(F.col("count").desc(), F.col("t").asc()).limit(vocab_size).collect()
     spark = df.sparkSession

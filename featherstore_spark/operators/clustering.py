@@ -66,16 +66,22 @@ def quantize_vec(vec_col, dim: int, scale: int = Q_SCALE, offset: float = Q_OFFS
     q = F.transform(
         v, lambda x: F.floor((x + F.lit(float(offset))) * F.lit(float(scale))).cast("long")
     )
+    # q_max bounds quantized values so every squared distance stays
+    # exact in BOTH int64 and the oracle's float64: (2*q_max)^2 * dim
+    # must be < 2^53; 2^20 leaves dist <= 2^48 at dim=64
+    q_max = 1 << 20
     bad = (
-        (F.size(v) != F.lit(int(dim)))
-        | F.exists(v, lambda x: x.isNull())
-        | F.exists(q, lambda e: e < 0)
+        v.isNull()  # FIRST: a null array makes the later exists() NULL, not true
+        | (F.size(v) != F.lit(int(dim)))
+        | F.exists(v, lambda x: x.isNull() | F.isnan(x))
+        | F.exists(q, lambda e: (e < 0) | (e > q_max))
     )
     err = F.raise_error(
         F.lit(
             f"kmeans quantize: every vector needs exactly {dim} non-null "
-            f"elements > {-offset} (fixed-point cross-engine contract, "
-            "clustering.py docstring) — got a null, short, or out-of-range vector"
+            f"finite elements in (-{offset}, {(q_max / scale) - offset:g}] "
+            "(fixed-point cross-engine contract, clustering.py docstring) — "
+            "got a null/short vector or a NaN/Inf/out-of-range element"
         )
     )
     return F.when(bad, err.cast("array<long>")).otherwise(q)

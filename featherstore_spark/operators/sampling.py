@@ -144,6 +144,11 @@ def temperature_resample(
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     counts = df.groupBy(domain_col).count().collect()
+    # NULL domains: no share can be computed for them, so they DROP —
+    # the same null-key-drops-the-row discipline as _u60's coin (and
+    # what the null-unsafe spec join below does naturally); they are
+    # excluded from N so the non-null shares are unaffected
+    counts = [r for r in counts if r[domain_col] is not None]
     n_total = sum(r["count"] for r in counts)
     if n_total == 0:
         return df.withColumn("rep_idx", F.lit(0)).limit(0)

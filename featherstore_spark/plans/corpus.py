@@ -85,6 +85,12 @@ def corpus_pipeline(
         from featherstore_spark.functions.text import STOPWORDS
 
         target_langs = tuple(str(l).strip() for l in target_langs if str(l).strip())
+        if not target_langs:
+            raise ValueError(
+                "target_langs was provided but normalizes to empty — the "
+                "caller asked for language filtering and would silently get "
+                "none"
+            )
         known = set(STOPWORDS) | {"und"}
         bad = set(target_langs) - known
         if bad:

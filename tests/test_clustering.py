@@ -130,3 +130,16 @@ def test_quantize_contract_enforced(spark):
         df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
         with pytest.raises(Exception, match="fixed-point"):
             kmeans_fit_assign(df, k=1, iters=0, dim=8)[0].collect()
+
+
+def test_quantize_rejects_null_vector_and_nan(spark):
+    """Whole-NULL vectors and NaN elements must raise, not silently
+    flow (size(NULL) is NULL, floor(NaN) casts to 0 in non-ANSI mode —
+    both would quietly diverge from the oracle)."""
+    for rows in (
+        [(1, None)],
+        [(1, [float("nan")] * 8)],
+    ):
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        with pytest.raises(Exception, match="fixed-point"):
+            kmeans_fit_assign(df, k=1, iters=0, dim=8)[0].collect()

@@ -69,3 +69,14 @@ def test_temperature_rejects_bad_t(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id: long, lang: string")
     with pytest.raises(ValueError, match="temperature"):
         temperature_resample(df, "lang", temperature=0.0)
+
+
+def test_temperature_null_domains_drop(spark):
+    """NULL domains carry no computable share: their rows drop (the
+    _u60 null-key discipline) and non-null shares are unaffected."""
+    rows = [(1, "a"), (2, None), (3, "a"), (4, "b")]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = temperature_resample(df, "lang", temperature=1.0)
+    assert sorted({r["doc_id"] for r in out.collect()}) == [1, 3, 4]
+    all_null = spark.createDataFrame([(1, None)], "doc_id: long, lang: string")
+    assert temperature_resample(all_null, "lang", 2.0).count() == 0
