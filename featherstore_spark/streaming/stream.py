@@ -394,6 +394,72 @@ def streaming_histogram(
     )
 
 
+def streaming_asof_enrich(
+    spine_stream: DataFrame,
+    features: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    on: str = "conv_id",
+    ts: str = "ts",
+    strategy: str = "window",
+    **asof_kwargs,
+):
+    """Online point-in-time enrichment: every arriving spine row is
+    joined to the latest preceding feature row — the streaming half of
+    the serving story (the reference serves point-in-time reads
+    request-by-request over Flight, /root/reference/pkg/flight/
+    server.go:250-256; this materializes the same answer continuously
+    for a whole stream of (entity, ts) requests).
+
+    Why ``foreachBatch`` and not a stream-static join: Spark's
+    stream-static equi-join cannot express "latest row ≤ ts" (an as-of
+    needs a per-key ordered reduction over the match set), so each
+    micro-batch is enriched with the BATCH :func:`~featherstore_spark.
+    operators.asof.asof_join` — identical semantics, identical zero-
+    leakage guarantee, all three strategies available.  Micro-batch
+    sizing (maxFilesPerTrigger) bounds the spine side; the feature side
+    is whatever ``features`` scans, so at 100 TB pass a bucketed /
+    partition-pruned feature snapshot, not the raw log.
+
+    Exactly-once effect on an at-least-once sink: each batch commits
+    under its own ``__batch_id`` partition via DYNAMIC partition
+    overwrite (the plans/checkpoint.py discipline), so a replayed batch
+    rewrites only its own partition instead of duplicating rows.
+    Read the result with ``spark.read.parquet(target_dir)`` and drop
+    ``__batch_id``.
+
+    Point-in-time note: the static side is re-evaluated per micro-batch
+    (stream-static semantics).  For reproducible backfills pass an
+    immutable snapshot; for ONLINE enrichment that re-read is the
+    feature — newly ingested feature rows become visible to later
+    batches, while rows with ``feature ts > spine ts`` are still
+    excluded by the as-of itself, so leakage cannot enter through the
+    refresh.
+
+    Returns the started StreamingQuery (availableNow trigger —
+    processes the backlog then stops; restart with the same
+    ``checkpoint_dir`` to resume).
+    """
+    from featherstore_spark.operators.asof import asof_join
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(batch_df, features, on=on, ts=ts, strategy=strategy, **asof_kwargs)
+        (
+            out.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(target_dir)
+        )
+
+    return (
+        spine_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_table(out_df: DataFrame, target_dir: str, checkpoint_dir: str):
     """availableNow trigger: process the whole backlog then stop — the
     streaming analogue of a batch backfill, restartable from the stream

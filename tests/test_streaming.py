@@ -364,3 +364,52 @@ def test_streaming_histogram_clamps_both_tails(spark, transcript_dir):
         spark, streaming_histogram(stream, "v", lo=0.0, hi=4.0, bins=4), "histclamp"
     ).toPandas()
     assert got["bin"].min() >= 0 and got["bin"].max() <= 3
+
+
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """Online point-in-time enrichment: enriching the spine micro-batch by
+    micro-batch (3 files, maxFilesPerTrigger=1) must produce exactly the
+    batch asof_join rows — leakage-free per batch — and a RESTART against
+    the same checkpoint must be a no-op (idempotent per-batch commits)."""
+    from featherstore_spark.datagen import generate_spine, generate_transcripts
+    from featherstore_spark.operators.asof import asof_join
+    from featherstore_spark.operators.windows import turn_features
+    from featherstore_spark.streaming.stream import streaming_asof_enrich
+
+    full = generate_transcripts(spark, n_convs=12, mean_turns=12, seed=11).cache()
+    feats = turn_features(full).select(
+        "conv_id", "ts", "turn_idx", "text_len", "cum_turns"
+    ).cache()
+    feats.count()
+    spine = generate_spine(full, seed=5).cache()
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    spine.repartition(3).write.parquet(src)
+
+    def _enrich():
+        stream = (
+            spark.readStream.schema(spine.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_asof_enrich(
+            stream, feats, out, ckpt, strategy="window", tiebreaks=("turn_idx",)
+        )
+        q.awaitTermination(180)
+
+    _enrich()
+    got = spark.read.parquet(out)
+    assert "__batch_id" in got.columns
+    n_batches = got.select("__batch_id").distinct().count()
+    assert n_batches >= 2, "spine must arrive across multiple micro-batches"
+
+    exp = asof_join(spine, feats, tiebreaks=("turn_idx",)).toPandas()
+    cols = sorted(c for c in got.columns if c != "__batch_id")
+    g = got.select(*cols).toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(e) == spine.count()
+    assert g.equals(e), "streaming enrichment diverged from batch asof_join"
+
+    # restart with the SAME checkpoint: no new data -> no new rows, no dupes
+    _enrich()
+    got2 = spark.read.parquet(out).drop("__batch_id").toPandas()
+    assert len(got2) == len(e)
