@@ -659,6 +659,20 @@ def q_exact_dedup(spark, sf_dir):
     return exact_duplicates(docs)
 
 
+def q_exact_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring removal (Lee et al. 2021 ExactSubstr,
+    dedup.drop_duplicate_spans): every 40+-char run occurring more than
+    once in the corpus is cut from all but its canonical occurrence —
+    the boilerplate/template scrub doc-level dedup cannot do.  The full
+    rebuilt clean_text is hash-verified against the DuckDB twin, so the
+    span arithmetic (gram lattice → island merge → complement
+    reconstruction) is value-checked byte for byte."""
+    from featherstore_spark.operators.dedup import drop_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_duplicate_spans(docs, min_len=40)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash document fingerprints (winnowing, SIGMOD'03) — the
     partial-copy detection primitive exact/minhash dedup both lack.
@@ -940,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "temperature_resample": q_temperature_resample,
         "exact_dedup": q_exact_dedup,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
         "char_ngram_jaccard": q_char_ngram_jaccard,
@@ -1208,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1
         """,
+        "exact_substring_dedup": _EXACT_SUBSTRING_ORACLE,
         "winnow_fingerprints": _WINNOW_ORACLE,
         "winnow_near_dups": _WINNOW_PAIRS_ORACLE,
         "char_ngram_jaccard": _CHAR_NGRAM_JACCARD_ORACLE,
@@ -1346,6 +1362,80 @@ def _build_winnow_pairs_oracle(
     """
 
 
+def _build_exact_substring_oracle(L: int) -> str:
+    """Twin of dedup.drop_duplicate_spans: gram lattice (one row per char
+    position) → count + canonical (min (doc_id, pos)) per gram hash →
+    non-canonical gram occurrences merged into islands (gaps-and-islands)
+    → clean_text rebuilt as the ordered string_agg of complement
+    segments.  Same md5_long60 gram hash as the engine."""
+    gh = "('0x'||substring(md5(substr(t, pos::INT, " + str(L) + ")),1,15))::BIGINT"
+    return f"""
+        WITH base AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+        pos_list AS (
+          SELECT doc_id, t, unnest(generate_series(1, length(t)-{L}+1)) AS pos
+          FROM base WHERE length(t) >= {L}
+        ),
+        occ AS (SELECT doc_id, pos, {gh} AS gh FROM pos_list),
+        stats AS (SELECT gh, count(*) AS c FROM occ GROUP BY gh),
+        canon AS (
+          SELECT gh, doc_id AS cd, pos AS cp FROM (
+            SELECT gh, doc_id, pos,
+                   row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+            FROM occ
+          ) WHERE rn = 1
+        ),
+        dup AS (
+          SELECT o.doc_id, o.pos AS s, o.pos + {L} - 1 AS e
+          FROM occ o JOIN stats USING (gh) JOIN canon USING (gh)
+          WHERE stats.c > 1 AND NOT (o.doc_id = canon.cd AND o.pos = canon.cp)
+        ),
+        flagged AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM dup
+        ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ),
+        merged AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+                   FROM isl GROUP BY doc_id, island),
+        pieces AS (
+          SELECT m.doc_id, m.s AS ord,
+                 substr(b.t,
+                        (coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) + 1)::INT,
+                        (m.s - coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) - 1)::INT
+                 ) AS piece
+          FROM merged m JOIN base b USING (doc_id)
+          UNION ALL
+          SELECT q.doc_id, 2147483647 AS ord, substr(b.t, (q.maxe + 1)::INT) AS piece
+          FROM (SELECT doc_id, max(e) AS maxe FROM merged GROUP BY doc_id) q
+          JOIN base b USING (doc_id)
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+          FROM pieces GROUP BY doc_id
+        ),
+        doc_stats AS (
+          SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                 sum(e - s + 1)::BIGINT AS cut_chars
+          FROM merged GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(r.clean_text, b.t) AS clean_text,
+               coalesce(d.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(d.cut_chars, 0) AS cut_chars
+        FROM base b
+        LEFT JOIN rebuilt r USING (doc_id)
+        LEFT JOIN doc_stats d USING (doc_id)
+    """
+
+
+_EXACT_SUBSTRING_ORACLE = _build_exact_substring_oracle(L=40)
 _WINNOW_ORACLE = _build_winnow_oracle(k=8, w=4)
 _WINNOW_PAIRS_ORACLE = _build_winnow_pairs_oracle(k=8, w=4, min_shared=20, max_fp_docs=50)
 

@@ -53,6 +53,7 @@ HEADLINE = [
     "gopher_repetition",
     "c4_line_clean",
     "exact_dedup",
+    "exact_substring_dedup",
     "jaccard_pairs",
     "minhash_near_dups",
     "simhash_near_dups",

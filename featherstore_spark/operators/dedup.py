@@ -971,3 +971,114 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------- exact substring dedup --
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr variant):
+    every character run of ``min_len``+ chars that occurs more than once
+    in the corpus is CUT from every occurrence except one canonical copy
+    (the lexicographically first (id, pos)), including repeats WITHIN one
+    document.  Unlike doc-level dedup this removes boilerplate shared by
+    otherwise-distinct documents — headers, license blocks, templated
+    paragraphs — which doc-level near-dup passes keep by design.
+
+    Mechanics: a span is duplicated iff every ``min_len``-gram inside it
+    is duplicated, so gram-level decisions compose into maximal spans: all
+    positions covered by a non-canonical duplicated gram are merged into
+    islands (classic gaps-and-islands over one doc-local window) and the
+    complement segments are re-concatenated.  Deterministic: the canonical
+    occurrence is min(struct(id, pos)), and md5-based gram hashes make the
+    DuckDB twin value-identical (collision odds 2^-60 per gram pair, and
+    IDENTICAL in the twin).
+
+    Returns one row per input row: (id_col, clean_text, n_dup_spans,
+    cut_chars), clean_len + cut_chars == original length (tested).  NULL
+    text → empty clean_text (the pii_scrub convention).
+
+    Plan shape at 100 TB: the gram explode emits one (id, pos, 8-byte
+    hash) row per character — the text itself never shuffles; the gram
+    count and canonical-pick are ONE map-combinable groupBy(gh); the
+    dup-occurrence join is gh-equi (AQE-skew-splittable — a hot gram IS
+    boilerplate); island-merge is a doc-local window; reconstruction is a
+    single HOF over the per-doc island array where the text already
+    lives.  The suffix-array machinery of the paper is replaced by the
+    fixed-width gram lattice: O(chars) rows instead of O(chars · log)
+    comparisons, at the cost of only detecting runs ≥ min_len (the same
+    guarantee the paper's 50-token threshold targets).  Reference scope:
+    featherstore has no corpus operators (SURVEY §2 gap); this extends
+    the dedup family of this module."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    from featherstore_spark.functions.text import balance_small_input
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.coalesce(F.col(text_col), F.lit("")).alias("t")
+    )
+    # the gram explode is ~len(text) md5s per row — rebalance small
+    # single-split inputs so it parallelizes (the winnow-kernel pattern)
+    grams = (
+        balance_small_input(base).where(F.length("t") >= L)
+        .select(
+            "id", "t",
+            F.explode(F.sequence(F.lit(1), F.length("t") - F.lit(L - 1))).alias("pos"),
+        )
+        .select("id", "pos", md5_long60(F.substring(F.col("t"), F.col("pos"), F.lit(L))).alias("gh"))
+    )
+    stats = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("canon"),
+    )
+    dup = (
+        grams.join(stats.where(F.col("c") > 1), "gh")
+        .where(~((F.col("id") == F.col("canon.id")) & (F.col("pos") == F.col("canon.pos"))))
+        .select("id", F.col("pos").alias("s"), (F.col("pos") + F.lit(L - 1)).alias("e"))
+    )
+    from pyspark.sql import Window
+
+    w_prev = Window.partitionBy("id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    brk = F.when(
+        F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(0)) + 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = dup.withColumn("island", F.sum(brk).over(w_run))
+    merged = isl.groupBy("id", "island").agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    cuts = merged.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("cuts"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("cut_chars"),
+    )
+    joined = base.join(cuts, "id", "left")
+    # fold the sorted islands once: acc = (next uncut position, text so far)
+    rebuilt = F.aggregate(
+        F.col("cuts"),
+        F.struct(F.lit(1).cast("long").alias("p"), F.lit("").alias("acc")),
+        lambda acc, c: F.struct(
+            (c["e"] + 1).cast("long").alias("p"),
+            F.concat(
+                acc["acc"], F.substring(F.col("t"), acc["p"], c["s"] - acc["p"])
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.substring(F.col("t"), acc["p"], F.length("t") - acc["p"] + 1),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("cuts").isNotNull(), rebuilt).otherwise(F.col("t")).alias("clean_text"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("cut_chars", F.lit(0)).cast("long").alias("cut_chars"),
+    )
