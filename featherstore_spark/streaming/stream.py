@@ -394,6 +394,157 @@ def streaming_histogram(
     )
 
 
+def streaming_asof_state(
+    tagged: DataFrame,
+    feature_cols: list[str],
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    side_col: str = "side",
+    prefix: str = "f_",
+) -> DataFrame:
+    """TRUE streaming as-of join with O(1) state per entity — the online
+    feature-store hot path: feature rows and spine (request) rows arrive
+    interleaved in ONE tagged stream (``side_col`` = 'feature'/'spine';
+    union two sources upstream), and every spine row is emitted enriched
+    with the latest feature row at ts' <= ts SEEN SO FAR.  Unlike
+    :func:`streaming_asof_enrich` (which re-reads a static feature table
+    per micro-batch), this holds exactly ONE feature row per entity in
+    GroupState — O(active entities) total, no rescans, which is the shape
+    an online enricher needs at 10^12-turn scale.
+
+    Ordering contract, ENFORCED not assumed (the
+    streaming_cumulative_features discipline): within a micro-batch rows
+    are sorted by (ts, feature-before-spine) so equal-ts features match
+    inclusively, exactly like batch ``asof_join``; a micro-batch whose
+    earliest row is OLDER than anything already consumed for that entity
+    raises loudly — a late feature could invalidate already-emitted
+    enrichments, and silent wrongness is worse than a crash.  Late /
+    out-of-order backfills go through the batch checkpoint path.
+
+    Output: (entity, ts, {prefix}{ts_col}, {prefix}{col}...) — one row
+    per spine row; NULL features when no feature precedes the request
+    (matches batch asof_join, equality-tested across batch splits and
+    restarts)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_fields = {f.name: f for f in tagged.schema.fields}
+    missing = [c for c in (entity_col, ts_col, side_col, *feature_cols) if c not in in_fields]
+    if missing:
+        raise ValueError(f"streaming_asof_state: input lacks columns {missing}")
+    feat_fields = [in_fields[c] for c in feature_cols]
+    # state fields are written back with EXPLICIT python casts: the spine
+    # rows' NULLs upcast the batch's feature-value columns to float64, and
+    # a numpy float64 written into a LongType state field is silently
+    # dropped by the state serializer (observed: carry ts survived, carry
+    # values came back None) — the cast makes the round-trip total
+    _casters = []
+    for f in feat_fields:
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            _casters.append(int)
+        elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            _casters.append(float)
+        elif isinstance(f.dataType, T.BooleanType):
+            _casters.append(bool)
+        elif isinstance(f.dataType, T.StringType):
+            _casters.append(str)
+        else:
+            raise ValueError(
+                f"streaming_asof_state: feature column {f.name!r} has type "
+                f"{f.dataType.simpleString()} — only primitive feature values "
+                "can ride per-entity state (cast or extract upstream)"
+            )
+    out_schema = T.StructType(
+        [
+            in_fields[entity_col],
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(f"{prefix}{ts_col}", T.TimestampType()),
+            *[T.StructField(f"{prefix}{f.name}", f.dataType) for f in feat_fields],
+        ]
+    )
+    # ts round-trips through epoch-µs longs (flat, fixed state schema)
+    state_schema = T.StructType(
+        [
+            T.StructField("feat_ts_us", T.LongType()),
+            T.StructField("max_seen_us", T.LongType()),
+            *feat_fields,
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        held = state.get if state.exists else (None, None, *[None] * len(feature_cols))
+        feat_ts_us, max_seen_us = held[0], held[1]
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:  # pragma: no cover - NoTimeout never calls with empty
+            return
+        pdf[ts_col] = pdf[ts_col].astype("datetime64[ns]")
+        pdf["__rank"] = (pdf[side_col] != "feature").astype("int8")
+        bad = ~pdf[side_col].isin(["feature", "spine"])
+        if bad.any():
+            raise ValueError(
+                f"streaming_asof_state: unknown {side_col} value "
+                f"{pdf.loc[bad, side_col].iloc[0]!r} for {key} — expected "
+                "'feature' or 'spine' (a typo would silently drop rows)"
+            )
+        pdf = pdf.sort_values([ts_col, "__rank"], kind="mergesort").reset_index(drop=True)
+        first_us = int(pdf[ts_col].iloc[0].value // 1000)
+        if max_seen_us is not None and first_us < max_seen_us:
+            raise ValueError(
+                f"out-of-order micro-batch for {key}: row at {pdf[ts_col].iloc[0]} "
+                f"after already-consumed event time — a late feature would "
+                "invalidate emitted enrichments; backfill via the batch "
+                "checkpoint path (plans/checkpoint.py)"
+            )
+
+        feats = pdf[pdf[side_col] == "feature"][[ts_col, *feature_cols]]
+        if feat_ts_us is not None:
+            carry = pd.DataFrame(
+                {ts_col: pd.Series([pd.Timestamp(feat_ts_us * 1000)],
+                                   dtype="datetime64[ns]"),
+                 **{c: [v] for c, v in zip(feature_cols, held[2:])}}
+            )
+            # value dtypes may object-upcast when the carry holds a NULL —
+            # harmless: they are carried through the as-of, never keyed
+            feats = pd.concat([carry, feats], ignore_index=True)
+        spines = pdf[pdf[side_col] == "spine"][[ts_col]]
+
+        if len(feats):
+            last = feats.iloc[-1]
+            new_feat_ts_us = int(last[ts_col].value // 1000)
+            new_vals = [
+                None if pd.isna(v) else cast(v)
+                for cast, v in zip(_casters, (last[c] for c in feature_cols))
+            ]
+        else:
+            new_feat_ts_us, new_vals = None, [None] * len(feature_cols)
+        state.update((
+            new_feat_ts_us,
+            int(pdf[ts_col].iloc[-1].value // 1000),
+            *new_vals,
+        ))
+        if len(spines) == 0:
+            return
+        if len(feats):
+            merged = pd.merge_asof(
+                spines.sort_values(ts_col), feats.rename(columns={ts_col: f"{prefix}{ts_col}"}),
+                left_on=ts_col, right_on=f"{prefix}{ts_col}",
+                direction="backward", allow_exact_matches=True,
+            )
+        else:
+            merged = spines.copy()
+            merged[f"{prefix}{ts_col}"] = pd.NaT
+            for c in feature_cols:
+                merged[c] = None
+        merged.insert(0, entity_col, key[0])
+        merged = merged.rename(columns={c: f"{prefix}{c}" for c in feature_cols})
+        yield merged
+
+    return tagged.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_asof_enrich(
     spine_stream: DataFrame,
     features: DataFrame,

@@ -413,3 +413,78 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
     _enrich()
     got2 = spark.read.parquet(out).drop("__batch_id").toPandas()
     assert len(got2) == len(e)
+
+
+def test_streaming_asof_state_matches_batch_across_restart(spark, tmp_path):
+    """Stateful streaming as-of: features and spine requests interleaved in
+    one tagged stream, state = ONE feature row per entity.  Split the
+    timeline at its median into two query runs against the same checkpoint
+    (restart mid-stream); the union of emitted enrichments must equal the
+    batch asof_join over the full data, including spines before any
+    feature (NULL match) and unknown entities."""
+    import pandas as pd
+
+    from featherstore_spark.datagen import generate_spine, generate_transcripts
+    from featherstore_spark.operators.asof import asof_join
+    from featherstore_spark.operators.windows import turn_features
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_asof_state,
+    )
+
+    full = generate_transcripts(spark, n_convs=10, mean_turns=12, seed=13).cache()
+    feats = turn_features(full).select("conv_id", "ts", "text_len", "cum_turns").cache()
+    feats.count()
+    spine = generate_spine(full, seed=9).cache()
+
+    tagged = feats.withColumn("side", F.lit("feature")).unionByName(
+        spine.select(
+            "conv_id", "ts",
+            F.lit(None).cast("long").alias("text_len"),
+            F.lit(None).cast("long").alias("cum_turns"),
+            F.lit("spine").alias("side"),
+        )
+    ).cache()
+    all_ts = tagged.toPandas()["ts"]
+    qs = [all_ts.quantile(q, interpolation="nearest") for q in (0.25, 0.5, 0.75)]
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def _run():
+        stream = (
+            spark.readStream.schema(tagged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_stream_to_table(
+            streaming_asof_state(stream, feature_cols=["text_len", "cum_turns"]),
+            out, ckpt,
+        )
+        q.awaitTermination(180)
+
+    # micro-batches must respect event time (the operator's enforced
+    # ordering contract): write time-QUARTILE files sequentially so the
+    # file source's oldest-first order == event-time order; run 1 sees
+    # two micro-batches, then a restart consumes two more
+    import time as _time
+
+    def _append(cond):
+        tagged.where(cond).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    _append(F.col("ts") < F.lit(qs[0]))
+    _append((F.col("ts") >= F.lit(qs[0])) & (F.col("ts") < F.lit(qs[1])))
+    _run()
+    _append((F.col("ts") >= F.lit(qs[1])) & (F.col("ts") < F.lit(qs[2])))
+    _append(F.col("ts") >= F.lit(qs[2]))
+    _run()
+
+    cols = ["conv_id", "ts", "f_ts", "f_text_len", "f_cum_turns"]
+    got = spark.read.parquet(out).select(*cols).toPandas()
+    exp = asof_join(spine, feats).select(*cols).toPandas()
+    g = got.sort_values(cols).reset_index(drop=True)
+    e = exp.sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(e) == spine.count()
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+    # the null-match and unknown-entity edges are actually exercised
+    assert e["f_ts"].isna().any()
