@@ -439,6 +439,17 @@ def q_gopher_repetition(spark, sf_dir):
     return repetition_stats(docs, "doc_id", "text", top_n=2, dup_n=3)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size overlapping chunking (text.chunk_documents) — the
+    RAG/context-window prep step: 120-char chunks, 20-char overlap, every
+    chunk byte-checked against the DuckDB twin (pure sequence+substring
+    arithmetic, zero shuffle)."""
+    from featherstore_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=120, overlap=20)
+
+
 def q_c4_line_clean(spark, sf_dir):
     """C4 line-level cleaning (Raffel et al. 2020 §2.2, adapted): keep
     ≥5-word terminal-punctuated lines, drop javascript lines, flag docs
@@ -938,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "gopher_repetition": q_gopher_repetition,
         "c4_line_clean": q_c4_line_clean,
+        "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "top_ngrams": q_top_ngrams,
@@ -1171,6 +1183,22 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_ORACLE,
         "gopher_repetition": _GOPHER_REPETITION_ORACLE,
         "c4_line_clean": _C4_LINE_CLEAN_ORACLE,
+        "chunk_documents": """
+            -- twin of text.chunk_documents(chunk_chars=120, overlap=20):
+            -- stride 100; chunk i = substr(t, i*100+1, 120); n_chunks =
+            -- 1 + ceil(max(len-120, 0)/100); empty/NULL -> one empty chunk
+            WITH base AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+            n AS (SELECT doc_id, t,
+                         (1 + ceil(greatest(length(t) - 120, 0) / 100.0))::BIGINT AS n_chunks
+                  FROM base),
+            ch AS (SELECT doc_id, t, n_chunks,
+                          unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+                   FROM n)
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                   substr(t, (chunk_idx * 100 + 1)::INT, 120) AS chunk_text,
+                   n_chunks
+            FROM ch
+        """,
         "pii_scrub": _PII_SCRUB_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "top_ngrams": r"""

@@ -872,3 +872,57 @@ def tokenize_ids(
             F.coalesce("oov_frac", F.lit(0.0)).alias("oov_frac"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-size overlapping document chunking — the context-window prep
+    step between corpus cleaning and embedding/indexing (RAG ingestion,
+    long-doc eval slicing).  Chunk ``i`` covers characters
+    ``[1 + i·stride, 1 + i·stride + chunk_chars)`` with
+    ``stride = chunk_chars − overlap``; the last chunk is the first one
+    that reaches the end of the document (it may be shorter), so every
+    character belongs to ≥1 chunk and consecutive chunks share exactly
+    ``overlap`` chars.  Empty/NULL text → one empty chunk (total, like
+    pii_scrub's NULL convention — a lost row is the worse bug).
+
+    Returns (id_col, chunk_idx, chunk_text, n_chunks).
+
+    Plan shape: one codegen'd ``sequence``+``explode`` over the scan and a
+    per-row ``substring`` — zero shuffle at any scale, output rows ≈
+    corpus_chars / stride.  Deterministic pure arithmetic, so the DuckDB
+    twin reproduces every chunk byte-for-byte."""
+    chunk_chars, overlap = int(chunk_chars), int(overlap)
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if not (0 <= overlap < chunk_chars):
+        raise ValueError(
+            f"overlap must be in [0, chunk_chars), got {overlap} "
+            f"(chunk_chars={chunk_chars}) — overlap >= chunk_chars never advances"
+        )
+    stride = chunk_chars - overlap
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # chunks needed so the LAST chunk reaches the end:
+    # n = 1 + ceil(max(len - chunk_chars, 0) / stride), total for len = 0
+    extra = F.greatest(F.length(t) - F.lit(chunk_chars), F.lit(0))
+    n_chunks = (F.lit(1) + F.ceil(extra / F.lit(stride))).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        t.alias("__t"),
+        n_chunks.alias("n_chunks"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.substring(
+            F.col("__t"),
+            (F.col("chunk_idx") * stride + 1).cast("int"),
+            F.lit(chunk_chars),
+        ).alias("chunk_text"),
+        "n_chunks",
+    )

@@ -100,7 +100,7 @@ def test_entry_smoke(spark):
 
 
 NULL_TEXT_QUERIES = [
-    "media_byte_stats", "exact_dedup", "exact_substring_dedup",
+    "media_byte_stats", "exact_dedup", "exact_substring_dedup", "chunk_documents",
     "text_stats", "lang_id", "gopher_repetition",
     "c4_line_clean", "pii_scrub",
     "corpus_clean_pipeline", "minhash_near_dups", "simhash_near_dups",

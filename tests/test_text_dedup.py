@@ -818,3 +818,30 @@ def test_drop_duplicate_spans_within_doc_keeps_first(spark):
     # conservative behavior for degenerate repetition.
     assert len(r["clean_text"]) + r["cut_chars"] == len(df.collect()[0]["text"])
     assert r["n_dup_spans"] >= 1
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    """Chunking invariants: stride-prefix concatenation reconstructs the
+    document exactly, consecutive chunks share exactly `overlap` chars,
+    and empty text yields one empty chunk."""
+    from featherstore_spark.functions.text import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(257))  # prime-ish len
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_chars=64, overlap=16).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    one = [r for r in rows if r["doc_id"] == 1]
+    stride = 64 - 16
+    rebuilt = "".join(r["chunk_text"][:stride] for r in one[:-1]) + one[-1]["chunk_text"]
+    assert rebuilt == text
+    for a, b in zip(one, one[1:]):
+        assert a["chunk_text"][-16:] == b["chunk_text"][:16]
+    assert all(r["n_chunks"] == len(one) for r in one)
+    two = [r for r in rows if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["chunk_text"] == "" and two[0]["n_chunks"] == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_chars=10, overlap=10)
