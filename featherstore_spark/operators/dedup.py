@@ -999,6 +999,19 @@ def drop_duplicate_spans(
     DuckDB twin value-identical (collision odds 2^-60 per gram pair, and
     IDENTICAL in the twin).
 
+    Keep-one is guaranteed for ISOLATED duplicated runs: a duplicated
+    run whose canonical occurrence does not overlap other duplicated
+    content survives there exactly once (tested).  COMPOSED boilerplate
+    is cut more aggressively: a run XY whose fragments X and Y have
+    canonical homes in different documents is cut from every XY document
+    (X survives at X's home, Y at Y's, but no surviving doc carries them
+    adjacent), and an X⇢Y straddle gram whose canonical home lies inside
+    such a cut region is itself lost.  This is the composition behavior
+    of gram-local decisions; a span-level keep-one would need a second
+    global agreement round per island.  For the template/boilerplate
+    corpora this targets, aggressive removal of composed duplicates is
+    the useful direction of the error.
+
     Returns one row per input row: (id_col, clean_text, n_dup_spans,
     cut_chars), clean_len + cut_chars == original length (tested).  NULL
     text → empty clean_text (the pii_scrub convention).
@@ -1033,6 +1046,13 @@ def drop_duplicate_spans(
         )
         .select("id", "pos", md5_long60(F.substring(F.col("t"), F.col("pos"), F.lit(L))).alias("gh"))
     )
+    # the lattice feeds both the stats aggregate and the join probe —
+    # different subtrees, so the scan+explode+md5 runs twice.  That is the
+    # RIGHT trade, measured: the lattice is ~24 bytes/char (24x the text),
+    # so materializing it (localCheckpoint) writes/reads far more than the
+    # one cheap codegen pass it saves — sf0.1 warm 1.05 s recomputed vs
+    # 1.4-1.7 s checkpointed, and at corpus scale the gap widens (the gh
+    # shuffles dominate either way; the md5 pass is scan-cheap)
     stats = grams.groupBy("gh").agg(
         F.count(F.lit(1)).alias("c"),
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("canon"),

@@ -418,8 +418,14 @@ def streaming_asof_state(
     inclusively, exactly like batch ``asof_join``; a micro-batch whose
     earliest row is OLDER than anything already consumed for that entity
     raises loudly — a late feature could invalidate already-emitted
-    enrichments, and silent wrongness is worse than a crash.  Late /
-    out-of-order backfills go through the batch checkpoint path.
+    enrichments, and silent wrongness is worse than a crash.  The tie
+    case is guarded separately: a feature whose ts EQUALS an
+    already-emitted spine request also raises (batch as-of matches
+    equal-ts features inclusively, so that enrichment is already wrong),
+    while equal-ts arrivals that tie only other features or pending
+    spines are accepted.  NULL ``ts`` raises (NaT would silently poison
+    both guards).  Late / out-of-order backfills go through the batch
+    checkpoint path.
 
     Output: (entity, ts, {prefix}{ts_col}, {prefix}{col}...) — one row
     per spine row; NULL features when no feature precedes the request
@@ -439,10 +445,22 @@ def streaming_asof_state(
     # a numpy float64 written into a LongType state field is silently
     # dropped by the state serializer (observed: carry ts survived, carry
     # values came back None) — the cast makes the round-trip total
+    def _int_exact(v):
+        # the mixed batch arrives float64; past 2^53 that representation
+        # already lost the integer — corrupting state silently is the
+        # worst outcome, so refuse (the batch as-of path handles any long)
+        if isinstance(v, float) and abs(v) >= 2.0**53:
+            raise ValueError(
+                "streaming_asof_state: integer feature value magnitude >= 2^53 "
+                f"({v!r}) is not float64-exact in a NULL-bearing tagged batch — "
+                "cast the column to double/string upstream or use the batch as-of"
+            )
+        return int(v)
+
     _casters = []
     for f in feat_fields:
         if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            _casters.append(int)
+            _casters.append(_int_exact)
         elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
             _casters.append(float)
         elif isinstance(f.dataType, T.BooleanType):
@@ -468,17 +486,24 @@ def streaming_asof_state(
         [
             T.StructField("feat_ts_us", T.LongType()),
             T.StructField("max_seen_us", T.LongType()),
+            T.StructField("max_spine_us", T.LongType()),
             *feat_fields,
         ]
     )
 
     def update(key, pdfs, state: GroupState):
-        held = state.get if state.exists else (None, None, *[None] * len(feature_cols))
-        feat_ts_us, max_seen_us = held[0], held[1]
+        held = state.get if state.exists else (None, None, None, *[None] * len(feature_cols))
+        feat_ts_us, max_seen_us, max_spine_us = held[0], held[1], held[2]
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) == 0:  # pragma: no cover - NoTimeout never calls with empty
             return
         pdf[ts_col] = pdf[ts_col].astype("datetime64[ns]")
+        if pdf[ts_col].isna().any():
+            raise ValueError(
+                f"streaming_asof_state: NULL {ts_col} for {key} — a NaT would "
+                "silently poison the ordering guard and the carry timestamp; "
+                "filter or fix upstream"
+            )
         pdf["__rank"] = (pdf[side_col] != "feature").astype("int8")
         bad = ~pdf[side_col].isin(["feature", "spine"])
         if bad.any():
@@ -497,17 +522,29 @@ def streaming_asof_state(
                 "checkpoint path (plans/checkpoint.py)"
             )
 
+        spines = pdf[pdf[side_col] == "spine"][[ts_col]]
         feats = pdf[pdf[side_col] == "feature"][[ts_col, *feature_cols]]
+        if len(feats) and max_spine_us is not None:
+            f_first_us = int(feats[ts_col].iloc[0].value // 1000)
+            # '<= emitted spine ts' (not just '<'): batch as-of matches an
+            # equal-ts feature inclusively, so a feature tying an ALREADY
+            # EMITTED spine is exactly as unrecoverable as an earlier one
+            if f_first_us <= max_spine_us:
+                raise ValueError(
+                    f"late feature for {key}: feature at {feats[ts_col].iloc[0]} "
+                    "ties or precedes an already-emitted spine request — its "
+                    "enrichment is already wrong; backfill via the batch "
+                    "checkpoint path (plans/checkpoint.py)"
+                )
         if feat_ts_us is not None:
             carry = pd.DataFrame(
                 {ts_col: pd.Series([pd.Timestamp(feat_ts_us * 1000)],
                                    dtype="datetime64[ns]"),
-                 **{c: [v] for c, v in zip(feature_cols, held[2:])}}
+                 **{c: [v] for c, v in zip(feature_cols, held[3:])}}
             )
             # value dtypes may object-upcast when the carry holds a NULL —
             # harmless: they are carried through the as-of, never keyed
             feats = pd.concat([carry, feats], ignore_index=True)
-        spines = pdf[pdf[side_col] == "spine"][[ts_col]]
 
         if len(feats):
             last = feats.iloc[-1]
@@ -518,9 +555,16 @@ def streaming_asof_state(
             ]
         else:
             new_feat_ts_us, new_vals = None, [None] * len(feature_cols)
+        if len(spines):
+            new_max_spine_us = int(spines[ts_col].iloc[-1].value // 1000)
+            if max_spine_us is not None:
+                new_max_spine_us = max(new_max_spine_us, max_spine_us)
+        else:
+            new_max_spine_us = max_spine_us
         state.update((
             new_feat_ts_us,
             int(pdf[ts_col].iloc[-1].value // 1000),
+            new_max_spine_us,
             *new_vals,
         ))
         if len(spines) == 0:

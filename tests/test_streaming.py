@@ -488,3 +488,80 @@ def test_streaming_asof_state_matches_batch_across_restart(spark, tmp_path):
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
     # the null-match and unknown-entity edges are actually exercised
     assert e["f_ts"].isna().any()
+
+
+def test_streaming_asof_state_rejects_tie_with_emitted_spine(spark, tmp_path):
+    """A feature whose ts EQUALS an already-emitted spine request must
+    raise: batch as-of matches equal-ts features inclusively, so that
+    enrichment is already wrong (plain '<' would let the tie pass)."""
+    import time as _time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_asof_state,
+    )
+
+    schema = "conv_id string, ts timestamp, v long, side string"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = run_stream_to_table(
+            streaming_asof_state(stream, feature_cols=["v"]), out, ckpt
+        )
+        q.awaitTermination(120)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [("c1", t0, None, "spine")], schema
+    ).coalesce(1).write.parquet(src)
+    _run()
+    _time.sleep(1.1)
+    spark.createDataFrame(  # feature TYING the emitted spine's ts
+        [("c1", t0, 7, "feature")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(StreamingQueryException, match="ties or precedes"):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = run_stream_to_table(
+            streaming_asof_state(stream, feature_cols=["v"]), out, ckpt
+        )
+        q.awaitTermination(120)
+
+
+def test_streaming_asof_state_rejects_null_ts_and_big_longs(spark, tmp_path):
+    """NULL ts raises loudly (NaT would poison the ordering guard); a
+    LongType feature value at/above 2^53 raises (not float64-exact in a
+    NULL-bearing mixed batch) instead of silently corrupting state."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_asof_state,
+    )
+
+    schema = "conv_id string, ts timestamp, v long, side string"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    for rows, pat, tag in [
+        ([("c1", None, 7, "feature"), ("c1", t0, None, "spine")], "NULL ts", "nullts"),
+        ([("c1", t0, 2**60 + 1, "feature"),
+          ("c1", t0 + dt.timedelta(minutes=1), None, "spine")], "2\\^53", "big"),
+    ]:
+        src, out, ckpt = (str(tmp_path / f"{tag}_{d}") for d in ("src", "out", "ckpt"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = run_stream_to_table(
+            streaming_asof_state(stream, feature_cols=["v"]), out, ckpt
+        )
+        with pytest.raises(StreamingQueryException, match=pat):
+            q.awaitTermination(120)

@@ -845,3 +845,36 @@ def test_chunk_documents_covers_and_overlaps(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_chars=10, overlap=10)
+
+
+def test_drop_duplicate_spans_composition_semantics(spark):
+    """Pins the DOCUMENTED composition behavior: isolated duplicated runs
+    keep exactly their canonical copy; a composed run XY whose fragments
+    have canonical homes in different docs is cut from every XY document
+    while X and Y survive at their homes; each doc's unique content is
+    never touched."""
+    from featherstore_spark.operators.dedup import drop_duplicate_spans
+
+    x = "X" * 25 + "x" * 25  # 50 chars
+    y = "Y" * 25 + "y" * 25
+    rows = [
+        (1, "doc one intro. " + x + " doc one tail."),
+        (2, "doc two intro. " + y + " doc two tail."),
+        (3, "alpha preface " + x + y + " omega endnote."),
+        (4, "unrelated head " + x + y + " different coda."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in drop_duplicate_spans(df, min_len=40).collect()}
+    # isolated runs survive exactly at their canonical homes
+    assert x in out[1] and y in out[2]
+    assert y not in out[1] and x not in out[2]
+    # the composed run is cut from BOTH composites (span-level keep-one is
+    # explicitly not promised for composed boilerplate)
+    for d in (3, 4):
+        assert x not in out[d] and y not in out[d]
+    # unique content survives everywhere (boundary whitespace may be cut
+    # with the adjacent duplicated run)
+    assert "doc one intro." in out[1] and "doc one tail." in out[1]
+    assert "doc two intro." in out[2] and "doc two tail." in out[2]
+    assert "alpha preface" in out[3] and "omega endnote." in out[3]
+    assert "unrelated head" in out[4] and "different coda." in out[4]
