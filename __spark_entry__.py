@@ -173,6 +173,28 @@ def q_asof_join_auto(spark, sf_dir):
     return _asof_clicks_purchases(spark, sf_dir, "auto")
 
 
+def q_asof_join_ttl(spark, sf_dir):
+    """As-of with a feature TTL (operators/asof.py tolerance): a match
+    staler than 3 days is nulled out, inclusive at the boundary — the
+    online-store staleness rule, one post-match codegen projection.  The
+    oracle restricts each correlated subquery to f.ts >= s.ts - 3 days."""
+    from featherstore_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    feats = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        spine, feats, on="user_id", ts="ts", tiebreaks=("event_id",),
+        tolerance="3 days",
+    )
+    return out.select(
+        "user_id", "ts", "event_id", "f_ts", "f_event_id",
+        F.round("f_value", 4).alias("f_value"),
+    )
+
+
 def q_history_scan(spark, sf_dir):
     from featherstore_spark.operators.latest import history
 
@@ -924,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
         "asof_join_auto": q_asof_join_auto,
+        "asof_join_ttl": q_asof_join_ttl,
         "history_scan": q_history_scan,
         "semi_join_entities": q_semi_join_entities,
         "lag_lead": q_lag_lead,
@@ -1002,6 +1025,22 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_ORACLE,
         "asof_join_bucketed": _ASOF_ORACLE,
         "asof_join_auto": _ASOF_ORACLE,
+        "asof_join_ttl": """
+            SELECT s.user_id, s.ts, s.event_id,
+              (SELECT f.ts FROM events f
+                WHERE f.user_id = s.user_id AND f.event_type = 'purchase'
+                  AND f.ts <= s.ts AND f.ts >= s.ts - INTERVAL 3 DAY
+                ORDER BY f.ts DESC, f.event_id DESC LIMIT 1) AS f_ts,
+              (SELECT f.event_id FROM events f
+                WHERE f.user_id = s.user_id AND f.event_type = 'purchase'
+                  AND f.ts <= s.ts AND f.ts >= s.ts - INTERVAL 3 DAY
+                ORDER BY f.ts DESC, f.event_id DESC LIMIT 1) AS f_event_id,
+              (SELECT ROUND(f.value, 4) FROM events f
+                WHERE f.user_id = s.user_id AND f.event_type = 'purchase'
+                  AND f.ts <= s.ts AND f.ts >= s.ts - INTERVAL 3 DAY
+                ORDER BY f.ts DESC, f.event_id DESC LIMIT 1) AS f_value
+            FROM events s WHERE s.event_type = 'click'
+        """,
         "history_scan": """
             SELECT * FROM events
             WHERE user_id = 7

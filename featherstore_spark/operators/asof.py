@@ -135,6 +135,7 @@ def asof_join(
     bucket: str | int = "1 day",
     n_salts: int = 32,
     target_rows: int = 50_000,
+    tolerance: str | int | None = None,
 ) -> DataFrame:
     """Enrich every spine row with the latest preceding feature row.
 
@@ -147,18 +148,40 @@ def asof_join(
     ``"auto"`` — sized from the corpus's hottest entity-day density so the
     largest pandas group stays under ``target_rows`` (SURVEY §7.4's two
     knobs, now data-driven).
+
+    ``tolerance`` (feature TTL): an interval string or µs width; a match
+    older than ``spine.ts − tolerance`` is nulled out (INCLUSIVE at the
+    boundary: staleness == tolerance still matches, like pandas
+    merge_asof).  Expired features serving as fresh is the online-store
+    staleness bug; the filter is one post-match codegen projection —
+    the latest match older than the TTL proves no in-window feature
+    exists, so no strategy needs a second scan.
     """
     tiebreaks = [c for c in tiebreaks if c in features.columns]
     val_cols = _value_cols(features, on, ts, tiebreaks)
     if strategy == "bucketed" and bucket == "auto":
         bucket = auto_bucket_width_us(features, on, ts, target_rows)
     if strategy == "window":
-        return _asof_window(spine, features, on, ts, tiebreaks, prefix, val_cols)
-    if strategy == "cogroup":
-        return _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=None, n_salts=n_salts)
-    if strategy == "bucketed":
-        return _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=bucket, n_salts=n_salts)
-    raise ValueError(f"unknown as-of strategy {strategy!r}")
+        out = _asof_window(spine, features, on, ts, tiebreaks, prefix, val_cols)
+    elif strategy == "cogroup":
+        out = _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=None, n_salts=n_salts)
+    elif strategy == "bucketed":
+        out = _asof_cogroup(spine, features, on, ts, tiebreaks, prefix, val_cols, bucket=bucket, n_salts=n_salts)
+    else:
+        raise ValueError(f"unknown as-of strategy {strategy!r}")
+    if tolerance is None:
+        return out
+    tol_us = _interval_to_us(tolerance) if isinstance(tolerance, str) else int(tolerance)
+    if tol_us < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance!r}")
+    fresh = epoch_us(prefix + ts) >= epoch_us(ts) - F.lit(tol_us)
+    return out.select(
+        *spine.columns,
+        *[
+            F.when(fresh, F.col(prefix + c)).otherwise(F.lit(None)).alias(prefix + c)
+            for c in [ts, *val_cols]
+        ],
+    )
 
 
 # ---------------------------------------------------------------- window --

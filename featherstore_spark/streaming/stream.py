@@ -401,6 +401,7 @@ def streaming_asof_state(
     ts_col: str = "ts",
     side_col: str = "side",
     prefix: str = "f_",
+    tolerance: str | int | None = None,
 ) -> DataFrame:
     """TRUE streaming as-of join with O(1) state per entity — the online
     feature-store hot path: feature rows and spine (request) rows arrive
@@ -427,6 +428,13 @@ def streaming_asof_state(
     both guards).  Late / out-of-order backfills go through the batch
     checkpoint path.
 
+    ``tolerance`` (feature TTL, same semantics as batch ``asof_join``):
+    an interval string or µs width; a carry/match staler than
+    ``spine.ts − tolerance`` is emitted as NULL (inclusive boundary).
+    The state still holds the stale row — a fresh-enough spine later
+    cannot exist (event time only advances), but TTL expiry must not
+    destroy the ordering guard's memory.
+
     Output: (entity, ts, {prefix}{ts_col}, {prefix}{col}...) — one row
     per spine row; NULL features when no feature precedes the request
     (matches batch asof_join, equality-tested across batch splits and
@@ -434,6 +442,14 @@ def streaming_asof_state(
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from featherstore_spark.functions.time import interval_to_us
+
+    tol_us = None
+    if tolerance is not None:
+        tol_us = interval_to_us(tolerance) if isinstance(tolerance, str) else int(tolerance)
+        if tol_us < 0:
+            raise ValueError(f"tolerance must be non-negative, got {tolerance!r}")
 
     in_fields = {f.name: f for f in tagged.schema.fields}
     missing = [c for c in (entity_col, ts_col, side_col, *feature_cols) if c not in in_fields]
@@ -580,6 +596,11 @@ def streaming_asof_state(
             merged[f"{prefix}{ts_col}"] = pd.NaT
             for c in feature_cols:
                 merged[c] = None
+        if tol_us is not None and len(merged):
+            stale = (
+                merged[ts_col] - merged[f"{prefix}{ts_col}"]
+            ) > pd.Timedelta(tol_us, unit="us")
+            merged.loc[stale, [f"{prefix}{ts_col}", *feature_cols]] = None
         merged.insert(0, entity_col, key[0])
         merged = merged.rename(columns={c: f"{prefix}{c}" for c in feature_cols})
         yield merged

@@ -150,3 +150,31 @@ def test_skewed_corpus_all_strategies_agree(spark):
             base["f_text_len"].astype("float64"),
             check_names=False,
         )
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_tolerance_ttl(spark, strategy):
+    """Feature TTL: a match older than spine.ts - tolerance is nulled out,
+    INCLUSIVE at the boundary (staleness == tolerance still matches), on
+    every strategy."""
+    feats = spark.createDataFrame(
+        [("c", _dt("2026-01-01 10:00:00"), 1.0)], "conv_id string, ts timestamp, v double"
+    )
+    spine = spark.createDataFrame(
+        [
+            ("c", _dt("2026-01-01 10:30:00")),  # 30 min stale -> fresh
+            ("c", _dt("2026-01-01 11:00:00")),  # exactly 1h -> boundary keeps
+            ("c", _dt("2026-01-01 11:00:00.000001")),  # 1h + 1us -> expired
+        ],
+        "conv_id string, ts timestamp",
+    )
+    got = {
+        r["ts"]: (r["f_ts"], r["f_v"])
+        for r in asof_join(spine, feats, strategy=strategy, tolerance="1 hour").collect()
+    }
+    assert got[_dt("2026-01-01 10:30:00")][1] == 1.0
+    assert got[_dt("2026-01-01 11:00:00")][1] == 1.0
+    assert got[_dt("2026-01-01 11:00:00.000001")] == (None, None)
+
+    with pytest.raises(ValueError, match="non-negative"):
+        asof_join(spine, feats, tolerance=-1)

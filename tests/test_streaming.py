@@ -565,3 +565,48 @@ def test_streaming_asof_state_rejects_null_ts_and_big_longs(spark, tmp_path):
         )
         with pytest.raises(StreamingQueryException, match=pat):
             q.awaitTermination(120)
+
+
+def test_streaming_asof_state_tolerance_matches_batch(spark, tmp_path):
+    """Feature TTL parity: the streaming enrichment with tolerance equals
+    the batch asof_join with the same tolerance (inclusive boundary)."""
+    import pandas as pd
+
+    from featherstore_spark.datagen import generate_spine, generate_transcripts
+    from featherstore_spark.operators.asof import asof_join
+    from featherstore_spark.operators.windows import turn_features
+    from featherstore_spark.streaming.stream import (
+        run_stream_to_table,
+        streaming_asof_state,
+    )
+
+    full = generate_transcripts(spark, n_convs=8, mean_turns=10, seed=17).cache()
+    feats = turn_features(full).select("conv_id", "ts", "cum_turns").cache()
+    feats.count()
+    spine = generate_spine(full, seed=3).cache()
+    tagged = feats.withColumn("side", F.lit("feature")).unionByName(
+        spine.select(
+            "conv_id", "ts",
+            F.lit(None).cast("long").alias("cum_turns"),
+            F.lit("spine").alias("side"),
+        )
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    tagged.orderBy("ts").coalesce(1).write.parquet(src)
+    q = run_stream_to_table(
+        streaming_asof_state(
+            spark.readStream.schema(tagged.schema).parquet(src),
+            feature_cols=["cum_turns"], tolerance="30 minutes",
+        ),
+        out, ckpt,
+    )
+    q.awaitTermination(180)
+    cols = ["conv_id", "ts", "f_ts", "f_cum_turns"]
+    g = spark.read.parquet(out).select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    e = asof_join(spine, feats, tolerance="30 minutes").select(*cols).toPandas().sort_values(
+        cols
+    ).reset_index(drop=True)
+    assert len(g) == len(e) == spine.count()
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+    # the TTL actually expired something (the "1h after last turn" spines)
+    assert e["f_ts"].isna().any()
