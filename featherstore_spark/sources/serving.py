@@ -377,11 +377,17 @@ class ServingStore:
             ctx.rows = t.num_rows
             return t
 
-    def get_features_at(self, name: str, points) -> pa.Table:
+    def get_features_at(self, name: str, points, max_staleness=None) -> pa.Table:
         """Point-in-time feature vector per (entity, ts) request — the
         flagship as-of semantic (operators/asof.asof_join: latest feature
         row with ``f_ts <= ts``, inclusive C3 bound, max-tiebreak C2
         determinism) served driver-side for point reads.
+
+        ``max_staleness`` (feature TTL — the asof_join ``tolerance``
+        twin): a ``datetime.timedelta`` or interval string; a match older
+        than ``ts − max_staleness`` returns NULLs (inclusive boundary:
+        staleness == TTL still matches).  Expired features serving as
+        fresh is the online-store staleness bug.
 
         ``points``: iterable of (entity_id, datetime).  Output: one row
         per request in input order (``req_idx``) with the requested
@@ -399,6 +405,23 @@ class ServingStore:
         machinery was >half of every lookup's latency), no Spark job,
         no full-table work."""
         import numpy as np
+
+        stale_ns = None
+        if max_staleness is not None:
+            import datetime as _dt
+
+            from featherstore_spark.functions.time import interval_to_us
+
+            us = (
+                int(max_staleness.total_seconds() * 1_000_000)
+                if isinstance(max_staleness, _dt.timedelta)
+                else interval_to_us(max_staleness)
+                if isinstance(max_staleness, str)
+                else int(max_staleness)
+            )
+            if us < 0:
+                raise ServingError(f"max_staleness must be non-negative, got {max_staleness!r}")
+            stale_ns = np.timedelta64(us * 1000, "ns")
 
         with self.metrics.timed("get_features_at") as ctx:
             # normalize/validate up front: a None entity or ts would
@@ -473,6 +496,8 @@ class ServingStore:
                     continue
                 pt64 = np.datetime64(pt, "ns")
                 j = int(np.searchsorted(ts_np[lo:hi], pt64, "right")) - 1
+                if j >= 0 and stale_ns is not None and ts_np[lo + j] < pt64 - stale_ns:
+                    j = -1  # latest match is expired -> no in-window feature exists
                 idx.append(lo + j if j >= 0 else None)
             matched = feats.take(pa.array(idx, pa.int64()))  # null idx -> null row
             cols = {

@@ -690,3 +690,36 @@ def test_bucketed_registration_rebinds_all_read_paths(spark, transcripts, tmp_pa
     assert "other_conv" not in unfiltered.column("conv_id").to_pylist()
     assert filtered.num_rows == 1
     assert "p_bucket" not in unfiltered.column_names
+
+
+def test_points_max_staleness_ttl(served):
+    """Serving-side feature TTL (the asof_join tolerance twin): expired
+    matches null out, the boundary is INCLUSIVE, and fresh matches are
+    byte-identical to the un-TTL'd read.  Corpus latest rows per conv_c
+    sit at minute 40+c; points at 13:30 give staleness 50-c minutes, so a
+    45-minute TTL expires conv_0..4 and keeps conv_5 exactly at the
+    boundary (staleness == TTL)."""
+    from featherstore_spark.sources.serving import ServingStore
+
+    store = ServingStore(served["root"])
+    points = [(f"conv_{c}", datetime.datetime(2025, 3, 1, 13, 30)) for c in range(6)]
+    plain = store.get_features_at("convfeat", points).to_pandas()
+    ttl = store.get_features_at(
+        "convfeat", points, max_staleness="45 minutes"
+    ).to_pandas()
+    assert plain["f_ts"].notna().all()  # every conv has history
+    for c in range(6):
+        staleness = points[c][1] - plain["f_ts"].iloc[c].to_pydatetime()
+        if staleness <= datetime.timedelta(minutes=45):
+            assert ttl["f_ts"].iloc[c] == plain["f_ts"].iloc[c], c
+            assert ttl["f_f_val"].iloc[c] == plain["f_f_val"].iloc[c], c
+        else:
+            assert pd.isna(ttl["f_ts"].iloc[c]) and pd.isna(ttl["f_f_val"].iloc[c]), c
+    # the corpus really exercises both sides AND the inclusive boundary
+    assert ttl["f_ts"].isna().sum() == 5
+    assert ttl["f_ts"].notna().sum() == 1  # conv_5, staleness == 45 min exactly
+    import pytest as _pytest
+
+    from featherstore_spark.sources.serving import ServingError
+    with _pytest.raises(ServingError, match="non-negative"):
+        store.get_features_at("convfeat", points, max_staleness=-5)
