@@ -83,6 +83,10 @@ def _build_parser(cfg: dict) -> argparse.ArgumentParser:
                    help="comma list (en,de,…): keep only docs lang_id classifies "
                         "into these languages")
     c.add_argument("--near-dup", choices=["minhash", "none"], default="minhash")
+    c.add_argument("--substring-dedup", action="store_true",
+                   help="also cut duplicated 40+-char runs from surviving docs "
+                        "(ExactSubstr boilerplate scrub)")
+    c.add_argument("--substring-min-len", type=int, default=40)
     c.add_argument("--minhash-threshold", type=float, default=0.9)
     c.add_argument("--quality-threshold", type=float, default=-0.2)
     c.add_argument("--split-weights", default="0.98,0.01,0.01")
@@ -186,6 +190,8 @@ def main(argv: list[str] | None = None) -> int:
                 tuple(args.target_langs.split(",")) if args.target_langs else None
             ),
             near_dup=args.near_dup,
+            substring_dedup=args.substring_dedup,
+            substring_min_len=args.substring_min_len,
             minhash_threshold=args.minhash_threshold,
             quality_threshold=args.quality_threshold,
             split_weights=tuple(float(w) for w in args.split_weights.split(",")),

@@ -36,6 +36,8 @@ def corpus_pipeline(
     stages: tuple[str, ...] = ("c4", "repetition", "quality"),
     target_langs: tuple[str, ...] | None = None,
     near_dup: str = "minhash",
+    substring_dedup: bool = False,
+    substring_min_len: int = 40,
     minhash_threshold: float = 0.9,
     quality_threshold: float = -0.2,
     split_weights: tuple[float, ...] = (0.98, 0.01, 0.01),
@@ -60,6 +62,14 @@ def corpus_pipeline(
     ``target_langs``: when set, keep only docs whose n-gram ``lang_id``
     (stopword argmax over the RAW text — redaction/cleaning must not
     bias the vote) is in the set; applied as the first funnel stage.
+
+    ``substring_dedup``: when on, duplicated ``substring_min_len``+-char
+    runs are CUT from the surviving docs (dedup.drop_duplicate_spans —
+    the ExactSubstr pass production pipelines run after doc-level dedup:
+    doc near-dups are already gone, this removes shared boilerplate
+    inside kept docs).  Runs after near-dup, before PII (redaction
+    tokens must not perturb the gram lattice); adds
+    ``substring_cut_chars`` to the funnel stats.
     """
     from featherstore_spark.functions.text import (
         c4_line_clean,
@@ -189,9 +199,23 @@ def corpus_pipeline(
         _cnt("near_keep").alias("after_near_dedup"),
     ).collect()[0]
 
-    # 6. PII redaction LAST (tokens must not perturb dedup fingerprints),
-    #    then leakage-safe split assignment
+    # 6. optional exact-substring dedup over the SURVIVORS (boilerplate
+    #    runs shared by kept docs), then PII redaction LAST (tokens must
+    #    not perturb dedup fingerprints), then leakage-safe split
     kept = base.where("near_keep").select(id_col, *passthrough, "q_score", "clean_text")
+    if substring_dedup:
+        from featherstore_spark.operators.dedup import drop_duplicate_spans
+
+        spans = drop_duplicate_spans(
+            kept.select(id_col, F.col("clean_text").alias("text")),
+            id_col=id_col, min_len=substring_min_len,
+        )
+        kept = kept.drop("clean_text").join(
+            spans.select(id_col, "clean_text", F.col("cut_chars").alias("__cut")),
+            id_col,
+        )
+    else:
+        kept = kept.withColumn("__cut", F.lit(0).cast("long"))
     scrubbed = pii_scrub(
         kept.select(id_col, F.col("clean_text").alias("text")), id_col=id_col
     )  # -> (id, clean_text = scrubbed bytes, n_<type>…, has_pii)
@@ -203,11 +227,14 @@ def corpus_pipeline(
     out = split_assign(out, key_col=id_col, weights=split_weights,
                        names=split_names, seed=seed)
 
-    pii_total = out.agg(
+    pii_row = out.agg(
         F.sum(
             F.col("n_email") + F.col("n_ssn") + F.col("n_ipv4") + F.col("n_phone")
-        ).alias("p")
-    ).collect()[0]["p"]
+        ).alias("p"),
+        F.sum("__cut").alias("c"),
+    ).collect()[0]
+    out = out.drop("__cut")
     stats = {k: int(stats_row[k]) for k in stats_row.asDict()}
-    stats["pii_redactions"] = int(pii_total or 0)
+    stats["pii_redactions"] = int(pii_row["p"] or 0)
+    stats["substring_cut_chars"] = int(pii_row["c"] or 0)
     return out, stats

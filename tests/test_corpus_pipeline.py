@@ -162,3 +162,37 @@ def test_language_gate(spark):
     )
     assert stats["input"] == 2 and stats["after_lang"] == 1
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_corpus_pipeline_substring_stage(spark):
+    """substring_dedup=True cuts duplicated boilerplate runs from kept
+    docs (canonical copy survives), records the cut total in the funnel,
+    and leaves every other stage's behavior untouched."""
+    from featherstore_spark.plans.corpus import corpus_pipeline
+
+    boiler = "All rights reserved. This material may not be republished without permission. "
+    rows = [
+        (1, "A perfectly ordinary first document talking about gardens. "
+            "It has several proper sentences ending with punctuation. "
+            "The prose is long enough to pass every heuristic filter easily. " + boiler),
+        (2, "A different second document about sailing across the ocean. "
+            "Nothing here repeats the first one except the legal line below. "
+            "These sentences also pass the heuristic filters comfortably. " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, stats = corpus_pipeline(
+        df, stages=(), near_dup="none", substring_dedup=True,
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert len(texts) == 2
+    assert stats["substring_cut_chars"] >= len(boiler) - 2
+    # canonical (doc 1) keeps the boilerplate; doc 2 loses it
+    assert "republished" in texts[1]
+    assert "republished" not in texts[2]
+    assert "sailing across the ocean" in texts[2]
+
+    # default off: no cutting, stat present and zero
+    out2, stats2 = corpus_pipeline(df, stages=(), near_dup="none")
+    assert stats2["substring_cut_chars"] == 0
+    t2 = {r["doc_id"]: r["text"] for r in out2.collect()}
+    assert "republished" in t2[1] and "republished" in t2[2]
