@@ -914,6 +914,20 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(emb.where(F.col("vec_id") < 5), emb, k=3, n_planes=4, n_tables=12)
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/similarity.pq_ann_topk):
+    per-subspace fixed-point k-means codebooks (md5-rank seeds, exact
+    integer Lloyd rounds), corpus compressed to m=4 codes, per-query
+    integer distance tables, scoring = m lookups+adds over the CODES
+    table only — the raw vectors never enter the scan.  All-integer
+    output, so the unrolled per-subspace DuckDB twin matches
+    bit-for-bit — a value-checked distributed PQ index, not rows-only."""
+    from featherstore_spark.operators.similarity import pq_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_ann_topk(emb.where(F.col("vec_id") < 5), emb, k=3, m=4, ks=8, iters=2)
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Deterministic fixed-point k-means (operators/clustering.py):
     md5-rank seeds, 2 exact integer Lloyd rounds, argmin assignment with
@@ -1007,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
     }
@@ -1337,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _build_simhash_oracle(max_hamming=3),
         "lsh_ann_topk": _build_lsh_ann_oracle(k=3, n_planes=4, n_tables=12),
         "ivf_ann_topk": _build_ivf_ann_oracle(k=3, n_centroids=16, n_probes=6),
+        "pq_ann_topk": _build_pq_oracle(m=4, ks=8, iters=2, k=3),
         "kmeans_clusters": _build_kmeans_oracle(k=8, iters=2),
         "semantic_dedup": _build_semantic_dedup_oracle(k=8, iters=2, threshold=0.35),
     }
@@ -2183,6 +2199,99 @@ def _build_kmeans_oracle(k: int = 8, iters: int = 2, seed: int = 42) -> str:
     return f"""
         {ctes}
         SELECT vec_id, cid::INTEGER AS cluster_id FROM {final}
+    """
+
+
+def _build_pq_oracle(
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    k: int = 3,
+    dim: int = 64,
+    q_max: int = 5,
+    seed: int = 42,
+) -> str:
+    """SQL twin of similarity.pq_ann_topk — per-subspace unrolled
+    fixed-point Lloyd chains (the _kmeans_cte_chain recipe over
+    ``list_slice`` views of the quantized vectors, seed tag
+    ``pq:{seed}:{s}:``), argmin encoding, and ADC scoring as the sum of
+    per-subspace exact distances between the query slice and the
+    centroid its candidate's code names.  Distances ride as DOUBLE but
+    every value is an integer < 2^40 (exact in float64), so the BIGINT
+    cast at the end reproduces Spark's int64 ADC bit-for-bit."""
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    sub = dim // m
+    dist = (
+        "(list_dot_product(v.qv::DOUBLE[], v.qv::DOUBLE[])"
+        " - 2*list_dot_product(v.qv::DOUBLE[], c.cv::DOUBLE[])"
+        " + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))"
+    )
+    parts = [
+        """q0 AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor((x + 1.0) * 10000.0) AS BIGINT)) AS qv
+          FROM embeddings
+        )"""
+    ]
+    for s in range(m):
+        h = sql_md5_long60(f"'pq:{seed}:{s}:'||vec_id::VARCHAR")
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""qs{s} AS (
+          SELECT vec_id, list_slice(qv, {lo}, {hi}) AS qv FROM q0
+        ), s{s}c0 AS (
+          SELECT rn - 1 AS cid, qv AS cv FROM (
+            SELECT qv, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rn FROM qs{s}
+          ) WHERE rn <= {ks}
+        )""")
+        for i in range(iters):
+            parts.append(f"""s{s}a{i} AS (
+          SELECT vec_id, qv, cid FROM (
+            SELECT v.vec_id, v.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+            FROM qs{s} v CROSS JOIN s{s}c{i} c
+          ) WHERE rn = 1
+        ), s{s}u{i} AS (
+          SELECT cid, list((CAST(sm AS BIGINT) // n)::BIGINT ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, SUM(val) AS sm, COUNT(*) AS n FROM (
+              SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val FROM s{s}a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        ), s{s}c{i + 1} AS (
+          SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+          FROM s{s}c{i} p LEFT JOIN s{s}u{i} u USING (cid)
+        )""")
+        parts.append(f"""enc{s} AS (
+          SELECT vec_id, cid AS code{s} FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+            FROM qs{s} v CROSS JOIN s{s}c{iters} c
+          ) WHERE rn = 1
+        ), qd{s} AS (
+          SELECT v.vec_id AS query_id, c.cid, {dist} AS d
+          FROM qs{s} v CROSS JOIN s{s}c{iters} c
+          WHERE v.vec_id < {q_max}
+        )""")
+    enc_joins = " ".join(f"JOIN enc{s} e{s} USING (vec_id)" for s in range(1, m))
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.query_id = qd0.query_id AND qd{s}.cid = e{s}.code{s}"
+        for s in range(1, m)
+    )
+    adc = " + ".join(f"qd{s}.d" for s in range(m))
+    ctes = ",\n".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT query_id, neighbor_id, adc_dist, rank::INTEGER AS rank FROM (
+          SELECT qd0.query_id, e0.vec_id AS neighbor_id,
+                 CAST({adc} AS BIGINT) AS adc_dist,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qd0.query_id
+                   ORDER BY ({adc}), e0.vec_id) AS rank
+          FROM enc0 e0 {enc_joins}
+          JOIN qd0 ON qd0.cid = e0.code0 {qd_joins}
+          WHERE qd0.query_id <> e0.vec_id
+        ) WHERE rank <= {k}
     """
 
 

@@ -87,13 +87,13 @@ def quantize_vec(vec_col, dim: int, scale: int = Q_SCALE, offset: float = Q_OFFS
     return F.when(bad, err.cast("array<long>")).otherwise(q)
 
 
-def _assign_expr(centroids: list[list[int]]):
+def _assign_expr(centroids: list[list[int]], qv_col: str = "qv", q2_col: str = "__q2"):
     """cluster id = argmin over centroids of exact squared distance,
     ties broken by centroid index ASC (struct array_min compares (d,c)
     lexicographically — engine-independent).
 
     dist_c = ||q||^2 - 2 q·c + ||c||^2, all exact int64: ||q||^2 is
-    shared across centroids (computed once into ``__q2`` by the
+    shared across centroids (computed once into ``q2_col`` by the
     caller), ||c||^2 is a host-side constant, and q·c expands to plain
     scalar literal arithmetic — identical integers to the naive
     per-element (x-y)^2 sum, so the oracle twin needs no change.
@@ -116,7 +116,7 @@ def _assign_expr(centroids: list[list[int]]):
     c2s = json.dumps([sum(int(v) * int(v) for v in c) for c in centroids])
     return F.expr(
         f"array_min(transform(sequence(1, {k}), i -> struct("
-        f"__q2 - 2L * aggregate(zip_with(qv, "
+        f"{q2_col} - 2L * aggregate(zip_with({qv_col}, "
         f"element_at(from_json('{cmat}', 'array<array<bigint>>'), i), "
         f"(x, y) -> x * y), 0L, (a, t) -> a + t) "
         f"+ element_at(from_json('{c2s}', 'array<bigint>'), i) AS d, "
@@ -128,6 +128,56 @@ def _with_q2(df: DataFrame) -> DataFrame:
     """Adds ``__q2`` = exact ||qv||^2 (int64) once per row so every
     centroid distance shares it."""
     return df.withColumn("__q2", F.expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+
+
+def _lloyd_centroids(
+    qdf: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    seed_tag: str,
+    id_col: str = "vec_id",
+) -> list[list[int]]:
+    """Shared fixed-point Lloyd loop over an already-quantized vector
+    column ``qv``: md5-rank seeds (smallest ``md5_long60(seed_tag||id)``
+    wins, id tie-break) then ``iters`` exact integer rounds.  Returns
+    the final k×dim centroid matrix.  Used by whole-vector k-means AND
+    the per-subspace product-quantization codebook fit (similarity.py),
+    which passes SLICED qv columns with their own seed tags.
+
+    Empty clusters keep their previous centroid (documented; the SQL
+    twins mirror it with a LEFT JOIN + COALESCE)."""
+    seed_rows = (
+        qdf.select(
+            F.col(id_col),
+            "qv",
+            md5_long60(F.concat(F.lit(seed_tag), F.col(id_col).cast("string"))).alias("h"),
+        )
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["qv"]) for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(f"k={k} but corpus has only {len(centroids)} vectors")
+
+    q2df = _with_q2(qdf.select(F.col(id_col), "qv"))
+    sums = [F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)]
+    for _ in range(iters):
+        assigned = q2df.withColumn("cluster_id", _assign_expr(centroids))
+        stats = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        by_cid = {r["cluster_id"]: r for r in stats}
+        centroids = [
+            [int(by_cid[c][f"s{i}"]) // int(by_cid[c]["n"]) for i in range(dim)]
+            if c in by_cid
+            else centroids[c]  # empty cluster: keep previous centroid
+            for c in range(k)
+        ]
+    return centroids
 
 
 def kmeans_fit_assign(
@@ -144,10 +194,7 @@ def kmeans_fit_assign(
     """Fixed-point Lloyd k-means: ``iters`` exact integer rounds from
     md5-rank seeds.  Returns (assignments, final_centroids) where
     assignments has (id_col, vec_col, qv, cluster_id) and centroids are
-    the k quantized int vectors after the last update.
-
-    Empty clusters keep their previous centroid (documented; the SQL
-    twin mirrors it with a LEFT JOIN + COALESCE)."""
+    the k quantized int vectors after the last update."""
     from featherstore_spark.functions.text import balance_small_input
 
     # small single-file corpora arrive as ONE split — rebalance so the
@@ -158,39 +205,9 @@ def kmeans_fit_assign(
         F.col(vec_col).cast("array<double>").alias(vec_col),
         quantize_vec(vec_col, dim, scale, offset).alias("qv"),
     )
-    # --- seed: k corpus vectors with the smallest (md5_long60(id), id) ---
-    seed_rows = (
-        qdf.select(
-            F.col(id_col),
-            "qv",
-            md5_long60(F.concat(F.lit(f"km:{seed}:"), F.col(id_col).cast("string"))).alias("h"),
-        )
-        .orderBy("h", id_col)
-        .limit(k)
-        .collect()
-    )
-    centroids = [list(r["qv"]) for r in seed_rows]
-    if len(centroids) < k:
-        raise ValueError(f"k={k} but corpus has only {len(centroids)} vectors")
-
-    q2df = _with_q2(qdf)
-    sums = [F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)]
-    for _ in range(iters):
-        assigned = q2df.withColumn("cluster_id", _assign_expr(centroids))
-        stats = (
-            assigned.groupBy("cluster_id")
-            .agg(F.count(F.lit(1)).alias("n"), *sums)
-            .collect()
-        )
-        by_cid = {r["cluster_id"]: r for r in stats}
-        centroids = [
-            [int(by_cid[c][f"s{i}"]) // int(by_cid[c]["n"]) for i in range(dim)]
-            if c in by_cid
-            else centroids[c]  # empty cluster: keep previous centroid
-            for c in range(k)
-        ]
+    centroids = _lloyd_centroids(qdf, k, iters, dim, f"km:{seed}:", id_col)
     return (
-        q2df.withColumn("cluster_id", _assign_expr(centroids)).drop("__q2"),
+        _with_q2(qdf).withColumn("cluster_id", _assign_expr(centroids)).drop("__q2"),
         centroids,
     )
 

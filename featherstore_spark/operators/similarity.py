@@ -187,6 +187,171 @@ def ivf_assign(
     return assigned, cent
 
 
+# -------------------------------------------------------------------- PQ --
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> list[list[list[int]]]:
+    """Product-quantization codebook fit (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is
+    split into ``m`` contiguous subspaces of ``dim/m`` elements and each
+    subspace gets its own ``ks``-centroid codebook from the shared
+    fixed-point Lloyd loop (clustering._lloyd_centroids) — md5-rank
+    seeds per subspace (tag ``pq:{seed}:{s}:``), exact integer rounds,
+    so the codebooks are bit-identical on any cluster size AND
+    recomputable in the DuckDB SQL twin.
+
+    Cost: m × (1 seed top-k + iters aggregations) over the corpus —
+    index-build-time work, embarrassingly parallel, driver state
+    O(m × ks × dim/m) ints.  At 100 TB you fit on a deterministic
+    hash sample (sampling.hash_sample composes — the twin adds one
+    md5-coin WHERE) and encode the full corpus; the contract query fits
+    on the full small-SF table for a sharper oracle."""
+    from featherstore_spark.operators.clustering import (
+        _lloyd_centroids,
+        quantize_vec,
+    )
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    qdf = corpus.select(
+        F.col(corpus_id).alias("vec_id"), quantize_vec(vec_col, dim).alias("__qfull")
+    )
+    books = []
+    for s in range(m):
+        sliced = qdf.select(
+            "vec_id", F.slice("__qfull", s * sub + 1, sub).alias("qv")
+        )
+        books.append(
+            _lloyd_centroids(sliced, ks, iters, sub, f"pq:{seed}:{s}:", "vec_id")
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[int]]],
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode every vector as ``m`` small codes: per subspace, the
+    argmin-distance codebook entry (ties break on code index ASC via the
+    same (d, c) struct-min as k-means assignment).  Output is
+    (corpus_id, codes array<int>) — m ints instead of dim floats, the
+    16-64× compression that lets the ANN scan touch ONLY codes."""
+    from featherstore_spark.operators.clustering import _assign_expr, quantize_vec
+
+    m = len(books)
+    sub = dim // m
+    enc = corpus.select(
+        F.col(corpus_id).alias("vec_id"), quantize_vec(vec_col, dim).alias("__qfull")
+    )
+    for s in range(m):
+        enc = enc.withColumn(f"__qs{s}", F.slice("__qfull", s * sub + 1, sub)).withColumn(
+            f"__q2s{s}",
+            F.expr(f"aggregate(__qs{s}, 0L, (a, x) -> a + x * x)"),
+        )
+        enc = enc.withColumn(f"__code{s}", _assign_expr(books[s], f"__qs{s}", f"__q2s{s}"))
+    return enc.select(
+        "vec_id", F.array(*[F.col(f"__code{s}") for s in range(m)]).alias("codes")
+    )
+
+
+def _pq_dtab_expr(book: list[list[int]], qv_col: str, q2_col: str):
+    """Per-query asymmetric-distance table for one subspace: element j =
+    exact int64 ||q_s - c_j||^2 via the shared ||q||^2 − 2q·c + ||c||^2
+    expansion over a from_json-folded constant codebook (the same
+    constant-folding trick as clustering._assign_expr)."""
+    import json
+
+    ks = len(book)
+    cmat = json.dumps([[int(v) for v in c] for c in book])
+    c2s = json.dumps([sum(int(v) * int(v) for v in c) for c in book])
+    return F.expr(
+        f"transform(sequence(1, {ks}), j -> "
+        f"{q2_col} - 2L * aggregate(zip_with({qv_col}, "
+        f"element_at(from_json('{cmat}', 'array<array<bigint>>'), j), "
+        f"(x, y) -> x * y), 0L, (a, t) -> a + t) "
+        f"+ element_at(from_json('{c2s}', 'array<bigint>'), j))"
+    )
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k by product-quantization ADC (asymmetric
+    distance computation): corpus vectors are compressed to ``m`` codes
+    once at index-build time; each query precomputes an m × ks integer
+    distance table, and scoring a candidate is m array lookups + adds —
+    the raw vectors NEVER enter the scan.
+
+    Scale shape (the reason PQ exists): the scoring pass reads the codes
+    table only — m ints per vector vs dim floats, ≥16× less IO at
+    dim=64/m=4 — with the queries (plus their tiny distance tables)
+    broadcast; no corpus shuffle, no vector movement, one per-query
+    top-k window at the end.  Compose with ``ivf_assign`` list pruning
+    to cut the candidate set as well as the per-candidate cost.
+
+    Everything is exact int64 arithmetic on fixed-point-quantized
+    vectors (clustering.py contract), so ADC distances and ranks are
+    engine-independent and the DuckDB twin value-checks the whole
+    pipeline — codebook fit included.  Output: (query_id, neighbor_id,
+    adc_dist, rank), self-matches excluded, ties by neighbor_id ASC."""
+    from featherstore_spark.operators.clustering import quantize_vec
+
+    books = pq_fit_codebooks(corpus, m, ks, iters, corpus_id, vec_col, dim, seed)
+    sub = dim // m
+    codes = pq_encode(corpus, books, corpus_id, vec_col, dim)
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), quantize_vec(vec_col, dim).alias("__qfull")
+    )
+    for s in range(m):
+        q = q.withColumn(f"__qs{s}", F.slice("__qfull", s * sub + 1, sub)).withColumn(
+            f"__q2s{s}",
+            F.expr(f"aggregate(__qs{s}, 0L, (a, x) -> a + x * x)"),
+        )
+        q = q.withColumn(f"__dt{s}", _pq_dtab_expr(books[s], f"__qs{s}", f"__q2s{s}"))
+    qdt = q.select(
+        "query_id", F.array(*[F.col(f"__dt{s}") for s in range(m)]).alias("dtab")
+    )
+
+    adc = F.expr(
+        "aggregate(zip_with(dtab, codes, (t, c) -> element_at(t, c + 1)), "
+        "0L, (a, x) -> a + x)"
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qdt), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
