@@ -562,6 +562,25 @@ DECON_MIN_SHARED = 10
 DECON_MAX_FP_DOCS = 50
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Broadcast-Bloom decontamination prefilter (operators/dedup.
+    bloom_decontaminate_candidates): the benchmark side's winnowing
+    fingerprints compress into an 8 KiB md5-derived Bloom filter inlined
+    as a literal; the training side is one zero-shuffle fingerprint pass
+    + a codegen probe + a map-combinable per-doc hit count — the corpus
+    never shuffles on account of the benchmark.  No false negatives
+    (every exact-overlap doc is in the candidate set; tested), and the
+    filter words + probe verdicts are bit-identical in the DuckDB twin."""
+    from featherstore_spark.operators.dedup import bloom_decontaminate_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate_candidates(
+        docs.where(F.col("source") != DECON_BENCH_SOURCE),
+        docs.where(F.col("source") == DECON_BENCH_SOURCE),
+        min_hits=DECON_MIN_SHARED,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails/SSNs/IPv4/phones → <TYPE> tokens) with
     per-type counts — precedence-ordered replace chain, codegen only."""
@@ -989,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "top_ngrams": q_top_ngrams,
         "stratified_sample": q_stratified_sample,
         "dataset_split": q_dataset_split,
@@ -1255,6 +1275,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _PII_SCRUB_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
+        "bloom_decontaminate": _build_bloom_decon_oracle(
+            k=8, w=4, min_hits=DECON_MIN_SHARED, bench_source=DECON_BENCH_SOURCE
+        ),
         "top_ngrams": r"""
             WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
             tk AS (
@@ -1442,6 +1465,56 @@ def _build_winnow_pairs_oracle(
         WHERE a.id < b.id
         GROUP BY a.id, b.id
         HAVING COUNT(*) >= {min_shared}
+    """
+
+
+def _build_bloom_decon_oracle(
+    k: int = 8,
+    w: int = 4,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 42,
+    min_hits: int = 10,
+    bench_source: str = "src0",
+) -> str:
+    """SQL twin of dedup.bloom_decontaminate_candidates: the shared
+    winnow CTE (per-doc distinct fingerprint sets), the benchmark side's
+    bit positions OR-folded into words, and every corpus fingerprint
+    probed against them — hit iff all n_hashes bits are set (a LEFT JOIN
+    miss on the word is an unset bit).  md5-derived positions, 32 bits
+    per BIGINT word, identical to the engine."""
+    h = f"('0x'||substring(md5('bf:{seed}:'||i::VARCHAR||':'||fp::VARCHAR),1,15))::BIGINT % {n_bits}"
+    return f"""
+        WITH {_winnow_mins_cte(k, w)},
+        sided AS (
+          SELECT m.doc_id, d.source, m.fps FROM mins m JOIN documents d USING (doc_id)
+        ),
+        bpos AS (
+          SELECT DISTINCT {h} AS p FROM (
+            SELECT DISTINCT unnest(fps) AS fp FROM sided
+            WHERE source = '{bench_source}' AND len(fps) > 0
+          ), (SELECT unnest(range(0, {n_hashes})) AS i)
+        ),
+        filt AS (
+          SELECT (p // 32)::INT AS wi, bit_or(1::BIGINT << (p % 32)::INT) AS word
+          FROM bpos GROUP BY 1
+        ),
+        cpos AS (
+          SELECT doc_id, fp, i, {h} AS p FROM (
+            SELECT doc_id, unnest(fps) AS fp FROM sided
+            WHERE source <> '{bench_source}' AND len(fps) > 0
+          ), (SELECT unnest(range(0, {n_hashes})) AS i)
+        ),
+        fphit AS (
+          SELECT doc_id, fp,
+                 (COUNT(*) FILTER (WHERE f.word IS NOT NULL
+                    AND (f.word & (1::BIGINT << (p % 32)::INT)) <> 0) = {n_hashes}) AS hit
+          FROM cpos LEFT JOIN filt f ON f.wi = (p // 32)::INT
+          GROUP BY doc_id, fp
+        )
+        SELECT doc_id, COUNT(*) FILTER (WHERE hit)::BIGINT AS bloom_hits
+        FROM fphit GROUP BY doc_id
+        HAVING COUNT(*) FILTER (WHERE hit) >= {min_hits}
     """
 
 

@@ -777,6 +777,82 @@ def decontaminate(
     return corpus.join(hits, id_col, "left_anti")
 
 
+def bloom_contamination_hits(
+    corpus: DataFrame,
+    bench_words: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 42,
+    min_hits: int = 5,
+) -> DataFrame:
+    """Decontamination PREFILTER via a broadcast Bloom filter: per corpus
+    doc, how many of its winnowing fingerprints *might* belong to the
+    benchmark filter (``bench_words`` from sketch.bloom_build over the
+    benchmark side's fingerprints); docs with ≥ ``min_hits`` are
+    candidates for the exact :func:`cross_corpus_overlap` pass.
+
+    No false negatives: a fingerprint truly shared with the benchmark
+    ALWAYS probes true, so with the same (k, w, threshold) and no hot-fp
+    cap every doc the exact pass flags is in the candidate set (tested);
+    false positives only add candidates, never hide contamination.
+
+    Scale shape vs the exact path: cross_corpus_overlap shuffles BOTH
+    sides' fingerprints into an equi-join; here the benchmark compresses
+    to an 8 KiB literal and the corpus side is ONE zero-shuffle
+    fingerprint pass + a codegen probe + a map-combinable per-doc count
+    — the 100 TB training side never exchanges a row on account of the
+    benchmark.  Returns (id_col, bloom_hits)."""
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+    from featherstore_spark.operators.sketch import bloom_might_contain
+
+    rows = winnow_fingerprint_rows(corpus, id_col, text_col, k, w).where(
+        F.col("fp").isNotNull()
+    )
+    hit = bloom_might_contain(F.col("fp"), bench_words, n_bits, n_hashes, seed)
+    return (
+        rows.withColumn("__hit", hit.cast("long"))
+        .groupBy(id_col)
+        .agg(F.sum("__hit").alias("bloom_hits"))
+        .where(F.col("bloom_hits") >= min_hits)
+    )
+
+
+def bloom_decontaminate_candidates(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 42,
+    min_hits: int = 5,
+) -> DataFrame:
+    """End-to-end Bloom prefilter: build the benchmark fingerprint filter
+    (distinct fps → bit_or words → 8 KiB driver list) and probe the
+    corpus.  The benchmark side is scanned once at build time; the
+    filter itself is lineage-free driver state a caller can persist in a
+    checkpoint manifest and reuse across corpus shards/rounds."""
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+    from featherstore_spark.operators.sketch import bloom_build, bloom_words
+
+    bfp = (
+        winnow_fingerprint_rows(benchmark, id_col, text_col, k, w)
+        .where(F.col("fp").isNotNull())
+        .select("fp")
+        .distinct()
+    )
+    words = bloom_words(bloom_build(bfp, "fp", n_bits, n_hashes, seed), n_bits)
+    return bloom_contamination_hits(
+        corpus, words, id_col, text_col, k, w, n_bits, n_hashes, seed, min_hits
+    )
+
+
 # ------------------------------------------------------- dedup groups --
 
 def _symmetrize(edges: DataFrame) -> DataFrame:

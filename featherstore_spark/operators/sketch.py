@@ -208,3 +208,137 @@ def histogram_quantiles(
 
 def _qname(q: float) -> str:
     return "q" + str(q).replace("0.", "").ljust(2, "0")
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (deterministic, broadcastable membership pushdown)
+# --------------------------------------------------------------------------
+#
+# Why not Spark's built-in BloomFilter / bloom_filter_agg: its hash
+# (Murmur3-128 on the JVM) is not reproducible in DuckDB, so a built-in
+# filter could only ever be rows-only-checked.  This one derives every
+# bit position from md5_long60 (the repo's cross-engine primitive), so
+# the filter words AND every probe verdict are bit-identical in Spark,
+# DuckDB and pure python — value-checkable end to end.
+#
+# Layout: n_bits bits as n_bits/32 BIGINT words using only the LOW 32
+# bits of each word — masks are 1L << (pos % 32), max shift 31, so no
+# word is ever negative and no engine's signed-shift semantics are in
+# play.  Position i of a key = md5_long60('bf:{seed}:{i}:' || key) %
+# n_bits.  The filter has NO false negatives (a truly-present key always
+# probes true), the standard (1 - e^(-kn/m))^k false-positive rate, and
+# the build is a map-combinable bit_or aggregate — shards merge by OR.
+#
+# Scale role: the collected word array is n_bits/8 bytes (8 KiB at the
+# 2^16 default) — small enough to inline as a broadcast literal, which
+# turns membership testing into a PURE map-side expression: the probing
+# table never shuffles at all.  That is the decontamination fast path
+# (dedup.bloom_contamination_hits): benchmark fingerprints build the
+# filter once; 100 TB of training fingerprints stream through a codegen
+# filter with zero exchange.
+
+
+def bloom_positions(key, n_bits: int = 1 << 16, n_hashes: int = 4, seed: int = 42):
+    """array<long> of the ``n_hashes`` bit positions of ``key`` (NULL key
+    -> NULL positions; callers filter)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.pmod(
+            md5_long60(
+                F.concat(
+                    F.lit(f"bf:{seed}:"), i.cast("string"), F.lit(":"), c.cast("string")
+                )
+            ),
+            F.lit(n_bits),
+        ),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the filter as (word_idx int, word long) rows — ONE explode
+    (n_hashes rows per key) into a map-combinable ``bit_or`` aggregate.
+    Mergeable: the union filter of two shards is bit_or over their rows
+    (``bloom_merge``).  Absent words are all-zero (densified by
+    :func:`bloom_words`)."""
+    pos = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(bloom_positions(key_col, n_bits, n_hashes, seed)).alias("p"))
+    )
+    return (
+        pos.select(
+            F.floor(F.col("p") / 32).cast("int").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 32).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_merge(filters: DataFrame) -> DataFrame:
+    """OR-merge filter shards (rows from several :func:`bloom_build`
+    outputs unioned together)."""
+    return filters.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_words(filter_df: DataFrame, n_bits: int = 1 << 16) -> list[int]:
+    """Collect a built filter to the dense driver-side word list
+    (n_bits/32 longs, 8 KiB at the default) ready to inline as a
+    broadcast literal into :func:`bloom_might_contain`."""
+    by_idx = {r["word_idx"]: int(r["word"]) for r in filter_df.collect()}
+    return [by_idx.get(i, 0) for i in range(n_bits // 32)]
+
+
+def bloom_might_contain(
+    key,
+    words: list[int],
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 42,
+):
+    """Pure-expression membership probe against an inlined word list:
+    true iff ALL n_hashes bits are set.  NULL key -> false.  The literal
+    array folds once via from_json (the clustering.py constant-folding
+    recipe), so probing is whole-stage-codegen work — no join, no
+    shuffle, no Python."""
+    import json
+
+    if len(words) != n_bits // 32:
+        raise ValueError(f"words must have n_bits/32 = {n_bits // 32} entries, got {len(words)}")
+    c = F.col(key) if isinstance(key, str) else key
+    warr = F.from_json(F.lit(json.dumps([int(x) for x in words])), "array<bigint>")
+    hit = F.forall(
+        bloom_positions(c, n_bits, n_hashes, seed),
+        lambda p: F.element_at(warr, F.floor(p / 32).cast("int") + 1)
+        .bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (p % 32).cast("int"))
+        )
+        != 0,
+    )
+    return F.when(c.isNull(), F.lit(False)).otherwise(hit)
+
+
+def bloom_might_contain_py(
+    key, words: list[int], n_bits: int = 1 << 16, n_hashes: int = 4, seed: int = 42
+) -> bool:
+    """Pure-python reference probe (goldens/tests and driver-side use —
+    e.g. the serving tier screening a point lookup before opening a
+    dataset)."""
+    if key is None:
+        return False
+    for i in range(n_hashes):
+        h = int(
+            hashlib.md5(f"bf:{seed}:{i}:{key}".encode("utf-8")).hexdigest()[:15], 16
+        )
+        p = h % n_bits
+        if not (words[p // 32] >> (p % 32)) & 1:
+            return False
+    return True
