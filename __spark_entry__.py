@@ -637,6 +637,20 @@ def q_cascade_rollup(spark, sf_dir):
     )
 
 
+def q_profile_table(spark, sf_dir):
+    """Data-card profiler (plans/profile.py): per-column row counts,
+    null counts, KMV distinct estimates, engine-stable min/max
+    renderings and integer means over events — TWO linear map-combinable
+    passes total (one wide agg + one Arrow KMV pass), no per-column
+    jobs, no count-distinct Expand blow-up.  Float mean/distinct are
+    NULL by design (not value-checkable cross-engine; the histogram
+    sketch covers numeric distributions)."""
+    from featherstore_spark.plans.profile import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(ev, k=128)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (deterministic alternative to HLL —
     value-checkable across engines): distinct users per event_type via
@@ -1019,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "cascade_rollup": q_cascade_rollup,
         "kmv_distinct": q_kmv_distinct,
+        "profile_table": q_profile_table,
         "histogram_quantiles": q_histogram_quantiles,
         "tokenize_ids": q_tokenize_ids,
         "temperature_resample": q_temperature_resample,
@@ -1308,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "char_lm_ppl": _build_char_lm_oracle(vocab_size=256),
         "cascade_rollup": _build_cascade_rollup_oracle(),
         "kmv_distinct": _build_kmv_oracle(k=64),
+        "profile_table": _build_profile_oracle(k=128),
         "histogram_quantiles": _build_histogram_quantiles_oracle(bins=128),
         "tokenize_ids": _build_tokenize_ids_oracle(vocab_size=512),
         "temperature_resample": _build_temperature_resample_oracle(temperature=2.0),
@@ -2416,6 +2432,61 @@ def _build_cascade_rollup_oracle(
         # direct GROUP BY per level; the Spark side only ever scans raw
         # rows once and cascades partials upward
     return " UNION ALL ".join(parts)
+
+
+def _build_profile_oracle(k: int = 128, table: str = "events") -> str:
+    """SQL twin of plans/profile.profile_table over the events table:
+    per column, the same counts, KMV distinct estimate (k smallest
+    distinct md5 hashes of the SAME string rendering the engine hashes),
+    min/max text under the per-dtype rendering rules, and the
+    exact-int-sum mean.  One UNION ALL branch per column."""
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    from featherstore_spark.plans.profile import TS_FMT_DUCK
+
+    specs = [
+        ("event_id", "bigint", "int"),
+        ("ts", "timestamp_ntz", "ts"),
+        ("user_id", "bigint", "int"),
+        ("event_type", "string", "str"),
+        ("value", "double", "float"),
+        ("props", "string", "str"),
+    ]
+    branches = []
+    for name, label, kind in specs:
+        if kind == "int":
+            hv = sql_md5_long60(f"{name}::VARCHAR")
+            mn, mx = f"MIN({name})::VARCHAR", f"MAX({name})::VARCHAR"
+            avg = f"ROUND(CAST(SUM({name}) AS BIGINT) / COUNT({name}), 6)"
+        elif kind == "ts":
+            hv = sql_md5_long60(f"strftime({name}, '{TS_FMT_DUCK}')")
+            mn = f"strftime(MIN({name}), '{TS_FMT_DUCK}')"
+            mx = f"strftime(MAX({name}), '{TS_FMT_DUCK}')"
+            avg = "NULL::DOUBLE"
+        elif kind == "str":
+            hv = sql_md5_long60(name)
+            mn, mx = f"substring(MIN({name}), 1, 64)", f"substring(MAX({name}), 1, 64)"
+            avg = "NULL::DOUBLE"
+        else:  # float: rendered range only
+            hv = None
+            mn, mx = f"printf('%.6f', MIN({name}))", f"printf('%.6f', MAX({name}))"
+            avg = "NULL::DOUBLE"
+        if hv is not None:
+            dist = f"""(SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*)::DOUBLE
+                       ELSE ROUND({float(k - 1)} * {float(1 << 60)} / MAX(hv), 6) END
+                FROM (SELECT DISTINCT {hv} AS hv FROM {table}
+                      WHERE {name} IS NOT NULL ORDER BY hv LIMIT {k}))"""
+        else:
+            dist = "NULL::DOUBLE"
+        branches.append(f"""
+          SELECT '{name}' AS col_name, '{label}' AS dtype,
+                 COUNT(*)::BIGINT AS n_rows,
+                 (COUNT(*) - COUNT({name}))::BIGINT AS n_null,
+                 {dist} AS n_distinct_est,
+                 {mn} AS min_s, {mx} AS max_s,
+                 {avg} AS avg_num
+          FROM {table}""")
+    return " UNION ALL ".join(branches)
 
 
 def _build_kmv_oracle(k: int = 64) -> str:
