@@ -576,6 +576,151 @@ def gram_minhash_candidates(
     return lsh_candidate_pairs(sigs, bands, k // bands, max_bucket_size)
 
 
+def matrix_allpairs_candidates(
+    sets: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    groups: int = 8,
+    set_col: str = "g",
+    vocab_chunk: int = 4096,
+    max_task_pairs: int = 16_000_000,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard candidates via per-task matrix products —
+    the dense-pair-space answer to the verify join's two scale problems:
+
+    1. *Shuffle width*: the blocked quadratic join ships both gram
+       arrays once PER PAIR (O(n² · |g|) bytes); here each doc's set
+       crosses the wire ``groups`` times (O(n · G · |g|)) and the n²
+       work happens inside numpy.
+    2. *The JIT cliff*: per-pair ``array_intersect`` runs inside one
+       giant generated method that executes interpreted until C2
+       compiles it — measured 231 s cold vs 7.7 s warm on the sf0.1
+       char-trigram corpus.  A BLAS matmul has no such cliff.
+
+    Plan: docs are salted into ``groups`` hash groups; each doc row is
+    replicated to every group-pair key ``(min(g,h), max(g,h))`` —
+    the classic triangular self-join decomposition, G(G+1)/2 tasks per
+    block, each unordered pair landing in EXACTLY one task.  Inside a
+    task (``applyInPandas``) the sets become a docs×vocab 0/1 float32
+    matrix (vocab-chunked at ``vocab_chunk`` columns so width never
+    blows memory) and ``inter = Xa @ Xb.T`` yields ALL pairwise
+    intersection sizes in one BLAS call; 0/1 sums are exact integers
+    (< 2^24) in float32, so ``inter`` is exact.
+
+    Candidates are emitted at ``jaccard >= threshold - 1e-6``: callers
+    re-verify with the exact JVM ``_set_jaccard`` (round-half-up at
+    6 dp), and round6(j) >= t requires raw j >= t - 5e-7, so the 1e-6
+    slack makes the candidate set a provable SUPERSET of the final
+    answer — results stay bit-identical to the brute join while pruning
+    the verify join to ~the true pair count.
+
+    Requires ``threshold > 0`` (at <= 0 even disjoint and empty-set
+    pairs qualify, which a candidate generator cannot represent) and
+    unique ids.  ``max_task_pairs`` bounds one task's na·nb pair block
+    (the float32 accumulator is 4·na·nb bytes); a block too dense for
+    the budget should raise ``groups`` — or switch to LSH, which is the
+    100 TB path once exactness is negotiable."""
+    if threshold <= 0:
+        raise ValueError(
+            "matrix_allpairs_candidates requires threshold > 0: at <= 0 every "
+            "pair (including empty-set pairs) qualifies and candidate "
+            "generation is meaningless — use method='block'"
+        )
+    import numpy as np
+    import pandas as pd
+
+    id_type = sets.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}"
+    eps = 1e-6
+    thr = float(threshold)
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pdf["id"][:0], "id_b": pdf["id"][:0]})
+        ka = int(pdf["__ka"].iat[0])
+        kb = int(pdf["__kb"].iat[0])
+        within = ka == kb
+        if within:
+            a_pdf = b_pdf = pdf
+        else:
+            own = pdf["__g"].to_numpy()
+            a_pdf, b_pdf = pdf[own == ka], pdf[own == kb]
+        na, nb = len(a_pdf), len(b_pdf)
+        if na == 0 or nb == 0:
+            return empty
+        if na * nb > max_task_pairs:
+            raise ValueError(
+                f"matrix_allpairs_candidates: task pair block {na}x{nb} exceeds "
+                f"max_task_pairs={max_task_pairs}; raise groups= (quadratic "
+                "per-task memory) or use method='lsh'"
+            )
+        a_sets = [np.asarray(s, dtype=np.int64) for s in a_pdf[set_col]]
+        b_sets = a_sets if within else [np.asarray(s, dtype=np.int64) for s in b_pdf[set_col]]
+        sa = np.array([len(s) for s in a_sets], dtype=np.float64)
+        sb = sa if within else np.array([len(s) for s in b_sets], dtype=np.float64)
+        vocab = np.unique(np.concatenate(a_sets + ([] if within else b_sets)))
+
+        def _cols(sets_list):
+            # (row_idx, col_idx) of the docs×vocab 0/1 matrix, col-sorted
+            rows = np.repeat(
+                np.arange(len(sets_list)), [len(s) for s in sets_list]
+            )
+            cols = np.searchsorted(vocab, np.concatenate(sets_list))
+            order = np.argsort(cols, kind="stable")
+            return rows[order], cols[order]
+
+        ra, ca = _cols(a_sets)
+        rb, cb = _cols(b_sets) if not within else (ra, ca)
+        inter = np.zeros((na, nb), dtype=np.float32)
+        for lo in range(0, len(vocab), vocab_chunk):
+            hi = min(lo + vocab_chunk, len(vocab))
+            a0, a1 = np.searchsorted(ca, (lo, hi))
+            b0, b1 = (a0, a1) if within else tuple(np.searchsorted(cb, (lo, hi)))
+            if a1 == a0 or b1 == b0:
+                continue
+            xa = np.zeros((na, hi - lo), dtype=np.float32)
+            xa[ra[a0:a1], ca[a0:a1] - lo] = 1.0
+            if within:
+                xb = xa
+            else:
+                xb = np.zeros((nb, hi - lo), dtype=np.float32)
+                xb[rb[b0:b1], cb[b0:b1] - lo] = 1.0
+            inter += xa @ xb.T
+        union = sa[:, None] + sb[None, :] - inter
+        ia, ib = np.nonzero(inter >= (thr - eps) * union)
+        if len(ia) == 0:
+            return empty
+        ids_a = a_pdf["id"].to_numpy()[ia]
+        ids_b = (a_pdf if within else b_pdf)["id"].to_numpy()[ib]
+        lt = pd.Series(ids_a).lt(pd.Series(ids_b)).to_numpy()
+        if within:
+            # symmetric matrix: keep the strict upper triangle by id —
+            # drops the diagonal and the mirrored duplicate in one test
+            ids_a, ids_b = ids_a[lt], ids_b[lt]
+        else:
+            ids_a, ids_b = (
+                np.where(lt, ids_a, ids_b),
+                np.where(lt, ids_b, ids_a),
+            )
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b})
+
+    g = F.pmod(F.xxhash64(F.col("id")), F.lit(groups)).cast("int")
+    rows = (
+        sets.where(F.size(set_col) > 0)  # empty/null sets pair with nothing at t>0
+        .withColumn("__g", g)
+        .withColumn("__h", F.explode(F.sequence(F.lit(0), F.lit(groups - 1))))
+        .select(
+            "id",
+            set_col,
+            "__g",
+            F.least("__g", "__h").alias("__ka"),
+            F.greatest("__g", "__h").alias("__kb"),
+            *([block_col] if block_col else []),
+        )
+    )
+    keys = ([block_col] if block_col else []) + ["__ka", "__kb"]
+    return rows.groupBy(*keys).applyInPandas(_emit, schema=out_schema)
+
+
 def char_ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -601,16 +746,21 @@ def char_ngram_jaccard_pairs(
     (2^-60 per gram pair) are negligible and IDENTICAL in the DuckDB
     twin, so values still verify exactly.
 
-    Pair-space bounding — four methods, differing in plan shape and
+    Pair-space bounding — five methods, differing in plan shape and
     (for 'lsh' only) in recall:
     - ``'auto'`` (default): ONE cheap count job measures the brute pair
-      space (Σ per-block n²/2, or n²/2 unblocked); under
-      ``auto_pair_budget`` the vectorized blocked join wins — EXACT —
-      (dense corpora: on the test corpus 8.5% of ALL pairs are ≥0.6
-      near-dups, so candidate generation cannot beat 8.7 s of brute
-      intersects at sf0.1); above it the quadratic join is the
-      scale-killer and 'lsh' is chosen.  Same estimate-gated-adaptivity
-      pattern as text.balance_small_input.
+      space (Σ per-block n²/2, or n²/2 unblocked); tiny (≤20k pairs)
+      stays on the pure-JVM 'block' join, bounded-dense (under
+      ``auto_pair_budget``) picks 'matrix' — still EXACT — and above
+      the budget the quadratic pair space itself is the scale-killer
+      and 'lsh' is chosen.  Same estimate-gated-adaptivity pattern as
+      text.balance_small_input.
+    - ``'matrix'``: exact all-pairs candidates from per-task BLAS
+      matmuls (:func:`matrix_allpairs_candidates`) feeding the same JVM
+      verify join — bit-identical output to 'block' with an O(n·G)
+      shuffle instead of O(n²) and no codegen-JIT cliff (the blocked
+      join measured 231 s cold / 7.7 s warm at sf0.1; matrix runs at
+      warm speed from the first execution).
     - ``'lsh'``: MinHash-LSH candidates over the gram arrays
       (:func:`gram_minhash_candidates`) — linear, equi-join shaped, the
       100 TB path; APPROXIMATE (standard 1-(1-j^r)^b recall at the
@@ -635,12 +785,14 @@ def char_ngram_jaccard_pairs(
         winnow_fingerprint_set(text_col, k=n, w=1).alias("g"),
         *blk,
     )
-    if method not in ("auto", "lsh", "prefix", "block"):
+    if method not in ("auto", "lsh", "prefix", "block", "matrix"):
         raise ValueError(
             f"unknown char_ngram_jaccard_pairs method {method!r}: expected "
-            "'auto', 'lsh', 'prefix', or 'block' (a typo would silently "
-            "fall through to the quadratic brute join)"
+            "'auto', 'lsh', 'prefix', 'block', or 'matrix' (a typo would "
+            "silently fall through to the quadratic brute join)"
         )
+    if method == "matrix" and threshold <= 0:
+        raise ValueError("method='matrix' requires threshold > 0; use 'block'")
     if candidates is None and method == "auto":
         if block_col:
             counts = [r["c"] for r in df.groupBy(block_col).agg(
@@ -649,7 +801,14 @@ def char_ngram_jaccard_pairs(
             counts = [df.count()]
         brute_pairs = sum(c * c for c in counts) // 2
         if brute_pairs <= auto_pair_budget:
-            method = "block"
+            if brute_pairs <= 20_000 or threshold <= 0:
+                # tiny pair space: the pure-JVM join beats spinning up
+                # Arrow workers (and t<=0 is only representable brute)
+                method = "block"
+            else:
+                # dense-but-bounded: exact matrix candidates — linear
+                # shuffle, BLAS pair counting, no codegen JIT cliff
+                method = "matrix"
         else:
             import warnings
 
@@ -664,11 +823,15 @@ def char_ngram_jaccard_pairs(
             )
             method = "lsh"
     block_filter_needed = False
-    if candidates is None and method in ("prefix", "lsh"):
+    if candidates is None and method in ("prefix", "lsh", "matrix"):
         # evaluate the gram UDF once: candidates AND both verify sides
         # read the checkpointed rows (same discipline as winnow pairs)
         grams = grams.localCheckpoint(eager=True)
-        if method == "prefix":
+        if method == "matrix":
+            candidates = matrix_allpairs_candidates(
+                grams, threshold, block_col=block_col
+            )
+        elif method == "prefix":
             candidates = prefix_filter_candidates(grams, threshold, block_col)
         else:
             candidates = gram_minhash_candidates(

@@ -523,6 +523,107 @@ def test_char_ngram_prefix_filter_exactly_matches_bruteforce(spark, documents):
     assert brute  # the highest-threshold blocked run still found pairs
 
 
+def test_char_ngram_matrix_exactly_matches_bruteforce(spark, documents):
+    """The matrix candidate path (method='matrix', the dense-pair-space
+    exact plan) is OUTPUT-IDENTICAL to the brute blocked join at every
+    threshold, blocked and unblocked: the kernel's threshold-minus-
+    epsilon candidates are a provable superset and the shared JVM
+    verify join keeps values bit-identical."""
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    base = documents.where(F.col("doc_id") < 60)
+    damaged = (
+        base.where(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xq")))
+    )
+    corpus = base.unionByName(damaged)
+    for t in (0.25, 0.6, 0.85):
+        for blk in (None, "lang"):
+            kw = {"block_col": blk} if blk else {}
+            brute = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in char_ngram_jaccard_pairs(
+                    corpus, n=3, threshold=t, method="block", **kw
+                ).collect()
+            }
+            mx = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in char_ngram_jaccard_pairs(
+                    corpus, n=3, threshold=t, method="matrix", **kw
+                ).collect()
+            }
+            assert mx == brute, (t, blk, len(mx), len(brute))
+    assert brute  # the highest-threshold blocked run still found pairs
+
+
+def test_matrix_candidates_string_ids_and_group_sweep(spark):
+    """matrix_allpairs_candidates orders pairs identically to the JVM
+    for string ids, and every `groups` choice (including groups larger
+    than the doc count) partitions the unordered pair space exactly
+    once — no dropped or duplicated pairs."""
+    from featherstore_spark.operators.dedup import matrix_allpairs_candidates
+
+    rows = [
+        ("doc_b", [1, 2, 3, 4]),
+        ("doc_a", [1, 2, 3, 5]),
+        ("doc_z", [1, 2, 3, 4]),
+        ("doc_m", [9, 10]),
+        ("doc_k", [9, 10, 11]),
+    ]
+    sets = spark.createDataFrame(rows, "id string, g array<long>")
+    expected = {  # jaccard >= 0.5 pairs, Python-ordered (== UTF-8 order)
+        ("doc_a", "doc_b"), ("doc_a", "doc_z"), ("doc_b", "doc_z"),
+        ("doc_k", "doc_m"),
+    }
+    for groups in (1, 2, 3, 7):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in matrix_allpairs_candidates(sets, 0.5, groups=groups).collect()
+        }
+        assert got == expected, groups
+        assert all(a < b for a, b in got)
+
+
+def test_matrix_candidates_guards(spark):
+    """threshold <= 0 is rejected (empty/disjoint pairs qualify there,
+    which candidates cannot represent) and an over-budget task block
+    fails loudly with the groups= advice instead of OOMing."""
+    from featherstore_spark.operators.dedup import (
+        char_ngram_jaccard_pairs,
+        matrix_allpairs_candidates,
+    )
+
+    sets = spark.createDataFrame(
+        [(i, [1, 2, 3]) for i in range(40)], "id long, g array<long>"
+    )
+    with pytest.raises(ValueError, match="threshold > 0"):
+        matrix_allpairs_candidates(sets, 0.0)
+    docs = spark.createDataFrame([(1, "aaa", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="threshold > 0"):
+        char_ngram_jaccard_pairs(docs, threshold=0.0, method="matrix")
+    with pytest.raises(Exception, match="max_task_pairs"):
+        matrix_allpairs_candidates(sets, 0.5, groups=1, max_task_pairs=100).collect()
+
+
+def test_char_ngram_auto_picks_matrix_midrange(spark, documents):
+    """auto routes the bounded-dense middle (20k < brute pairs <=
+    budget) through the matrix kernel — visible in the plan as a
+    FlatMapGroupsInPandas over the checkpointed grams — with output
+    identical to the forced brute join."""
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    docs = documents.where(F.col("doc_id") < 250)  # ~31k brute pairs
+    auto = char_ngram_jaccard_pairs(docs, threshold=0.5)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    brute = char_ngram_jaccard_pairs(docs, threshold=0.5, method="block")
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, brute.collect()))
+    assert a == b and a
+
+
 def test_char_ngram_auto_method_selection(spark, documents):
     """'auto' measures the brute pair space with one count job and
     switches to the LSH-candidate plan above the budget: no cross join,
