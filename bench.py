@@ -71,6 +71,9 @@ HEADLINE = [
     "histogram_quantiles",
     "cosine_topk",
     "semantic_dedup",
+    "pq_ann_topk",
+    "bloom_decontaminate",
+    "profile_table",
     "media_byte_stats",
 ]
 
@@ -745,21 +748,32 @@ def main() -> None:
         tc0 = time.perf_counter()
         _run_to_noop(queries[name](spark, sf_dir))
         timings_cold[name] = round(time.perf_counter() - tc0, 3)
-        for attempt in range(3):
-            l0 = os.getloadavg()[0]
-            c0 = _cpu_totals()
-            t0 = time.perf_counter()
-            _run_to_noop(queries[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            c1 = _cpu_totals()
-            l1 = max(l0, os.getloadavg()[0])
-            steal = (c1[1] - c0[1]) / max(c1[0] - c0[0], 1)
-            # retry on guest-visible load OR hypervisor steal (slows
-            # tasks without raising guest loadavg)
-            if l1 <= gate and steal <= 0.10:
-                break
-        timings[name] = round(dt, 3)
-        q_loads[name] = round(l1, 1)
+        # warm = MIN of two gated steady-state runs: this host's episodic
+        # external bursts sometimes slip past BOTH gates (neither guest
+        # loadavg nor steal moves — sibling-VM SMT contention), and a
+        # single-run protocol then records a 4-8x outlier (observed:
+        # jaccard_pairs 13.4 s on a "quiet" run vs 2.6-3.2 s on three
+        # independent probes).  min-of-2 is the standard least-noise
+        # estimator; both gates still retry each run up to 3x.
+        best, best_load = None, None
+        for _rep in range(2):
+            for attempt in range(3):
+                l0 = os.getloadavg()[0]
+                c0 = _cpu_totals()
+                t0 = time.perf_counter()
+                _run_to_noop(queries[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                c1 = _cpu_totals()
+                l1 = max(l0, os.getloadavg()[0])
+                steal = (c1[1] - c0[1]) / max(c1[0] - c0[0], 1)
+                # retry on guest-visible load OR hypervisor steal (slows
+                # tasks without raising guest loadavg)
+                if l1 <= gate and steal <= 0.10:
+                    break
+            if best is None or dt < best:
+                best, best_load = dt, l1
+        timings[name] = round(best, 3)
+        q_loads[name] = round(best_load, 1)
 
     # Flagship throughput, shared protocol (fresh JVM — see module doc).
     tmp = bench_workdir()
@@ -783,7 +797,9 @@ def main() -> None:
         "queries_cold": timings_cold,
         "cold_total": round(sum(timings_cold.values()), 3),
         "sf": sf,
-        "headline_protocol": "per-query warmed steady-state, load-gated retry; "
+        "headline_protocol": "per-query warm = MIN of two load/steal-gated "
+                             "steady-state runs (least-noise estimator vs this "
+                             "host's gate-invisible external bursts); "
                              "queries_cold = the (timed) first execution",
         "queries_loadavg": q_loads,
         "materialize": mat,
