@@ -818,6 +818,36 @@ def q_winnow_near_dups(spark, sf_dir):
     return winnow_near_duplicates(docs, min_shared=20, max_fp_docs=50)
 
 
+#: the "today's ingest" shard for the incremental-dedup contract query
+INCR_NEW_SOURCE = "src19"
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup detection (operators/dedup.
+    incremental_near_duplicates): docs from source 'src19' play the
+    newly-ingested batch, every other source the already-indexed corpus
+    (dedup.build_fingerprint_index).  The corpus side contributes ONE
+    map-side probe of its (8-byte fp, id) index rows — broadcast
+    left_semi on the new batch's fingerprints, never a corpus shuffle or
+    re-fingerprint — and the hot-fp cap sums doc frequencies across BOTH
+    sides, so the result is bit-identical to re-running
+    winnow_near_duplicates on the full corpus and keeping pairs that
+    touch the batch (the oracle computes it exactly that way)."""
+    from featherstore_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("source") == INCR_NEW_SOURCE)
+    idx_rows, idx_stats = build_fingerprint_index(
+        docs.where(F.col("source") != INCR_NEW_SOURCE)
+    )
+    return incremental_near_duplicates(
+        new, idx_rows, idx_stats, min_shared=20, max_fp_docs=50
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact-Jaccard verification fed by MinHash-LSH candidates — the
     100 TB shape (two equi-joins, no crossJoin; plan asserted in
@@ -1041,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
+        "incremental_dedup": q_incremental_dedup,
         "char_ngram_jaccard": q_char_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1347,6 +1378,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_dedup": _EXACT_SUBSTRING_ORACLE,
         "winnow_fingerprints": _WINNOW_ORACLE,
         "winnow_near_dups": _WINNOW_PAIRS_ORACLE,
+        "incremental_dedup": _build_incremental_dedup_oracle(
+            k=8, w=4, min_shared=20, max_fp_docs=50, new_source=INCR_NEW_SOURCE
+        ),
         "char_ngram_jaccard": _CHAR_NGRAM_JACCARD_ORACLE,
         "dedup_groups": _build_dedup_groups_oracle(threshold=0.9),
         "jaccard_pairs": _build_minhash_pairs_oracle(threshold=0.8),
@@ -1481,6 +1515,40 @@ def _build_winnow_pairs_oracle(
         WHERE a.id < b.id
         GROUP BY a.id, b.id
         HAVING COUNT(*) >= {min_shared}
+    """
+
+
+def _build_incremental_dedup_oracle(
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 20,
+    max_fp_docs: int = 50,
+    new_source: str = "src19",
+) -> str:
+    """SQL twin of dedup.incremental_near_duplicates — stated as the
+    SEMANTIC contract, not the incremental plan: the full-corpus winnow
+    pair query (identical CTEs to the winnow_near_dups oracle, cap
+    included) restricted to pairs touching the new-source batch.  The
+    engine computes the same set incrementally (index probe + new-only
+    joins); value equality here IS the parity proof."""
+    return rf"""
+        WITH {_winnow_mins_cte(k, w)}, ex AS (
+          SELECT doc_id AS id, unnest(fps) AS fp FROM mins WHERE len(fps) > 0
+        ), kept AS (
+          SELECT id, fp FROM ex
+          WHERE fp IN (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= {max_fp_docs})
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS shared_fps
+          FROM kept a JOIN kept b USING (fp)
+          WHERE a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING COUNT(*) >= {min_shared}
+        ), news AS (
+          SELECT doc_id FROM documents WHERE source = '{new_source}'
+        )
+        SELECT p.id_a, p.id_b, p.shared_fps FROM pairs p
+        WHERE p.id_a IN (SELECT doc_id FROM news)
+           OR p.id_b IN (SELECT doc_id FROM news)
     """
 
 

@@ -1016,6 +1016,192 @@ def bloom_decontaminate_candidates(
     )
 
 
+# ------------------------------------------------ incremental dedup --
+#
+# The daily-ingest path: dedup a NEW batch of documents against an
+# already-fingerprinted corpus WITHOUT re-pairing the corpus.  At 100 TB
+# the full winnow_near_duplicates re-run costs a corpus-wide fingerprint
+# pass + a corpus-wide self-join every day; incrementally, the corpus is
+# touched by exactly ONE map-side scan of its (8-byte fp, id) index —
+# partition-pruned to the fp buckets the new batch actually hits — and
+# everything quadratic happens only on (new x matched) and (new x new).
+# Result parity is exact: pairs == winnow_near_duplicates(index ∪ new)
+# restricted to pairs touching the new batch (differentially tested),
+# including the hot-fingerprint cap, whose doc frequencies are summed
+# across BOTH sides so a fingerprint that becomes boilerplate only in
+# combination is still dropped.
+
+
+def build_fingerprint_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(rows, stats) for a corpus fingerprint index: ``rows`` =
+    distinct (id, fp) via the zero-shuffle winnowing pandas kernel,
+    ``stats`` = per-fp document frequency (map-combinable hash-agg) —
+    the two tables :func:`incremental_near_duplicates` consumes.
+    Persist them with :func:`write_fingerprint_index`; on re-index,
+    append only the new batch's rows and bit-merge stats by summing
+    (both are unions, no rebuild)."""
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+
+    rows = (
+        winnow_fingerprint_rows(df, id_col, text_col, k, w)
+        .where(F.col("fp").isNotNull())
+        .select(F.col(id_col).alias("id"), "fp")
+    )
+    stats = rows.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return rows, stats
+
+
+def write_fingerprint_index(
+    rows: DataFrame,
+    stats: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the index partitioned by ``p_bucket = pmod(xxhash64(fp),
+    n_buckets)`` — the layout that lets an incremental run read ONLY the
+    fp buckets its new batch hits (:func:`read_fingerprint_index`
+    partition pruning).  Same xxhash64-modulus discipline as the serving
+    tier's entity buckets (sources/serving.py)."""
+    (
+        rows.withColumn("p_bucket", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("p_bucket")
+        .parquet(f"{path}/rows")
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def read_fingerprint_index(
+    spark,
+    path: str,
+    n_buckets: int = 64,
+    new_fps: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Load (rows, stats) written by :func:`write_fingerprint_index`.
+    With ``new_fps`` (any DataFrame with an ``fp`` column — the new
+    batch's fingerprints), the rows read is PRUNED to the p_bucket
+    partitions those fps hash into: the driver collects at most
+    ``n_buckets`` longs (never fp values), and every other corpus bucket
+    is skipped at the file-listing level."""
+    rows = spark.read.parquet(f"{path}/rows")
+    if new_fps is not None:
+        hit = [
+            r["b"]
+            for r in new_fps.select(
+                F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        rows = rows.where(F.col("p_bucket").isin(hit))
+    return rows.select("id", "fp"), spark.read.parquet(f"{path}/stats")
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    index_rows: DataFrame,
+    index_stats: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_fp_docs: int | None = 1000,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Winnowing near-dup pairs TOUCHING a new document batch, against a
+    pre-built corpus fingerprint index — bit-identical to
+    ``winnow_near_duplicates(index_corpus ∪ new_docs)`` filtered to
+    pairs with at least one new id (differential test), at incremental
+    cost.  New-batch ids must be disjoint from index ids (the standard
+    ingest contract; violations would self-pair).
+
+    Plan shape, in corpus-touch order:
+    1. New fingerprints: ONE zero-shuffle pandas pass over the new batch
+       (``localCheckpoint``-ed; the rows feed four consumers).
+    2. Hot-fp cap: new-side frequencies are a map-combined hash-agg of
+       the (small) new rows; index-side frequencies come from the
+       precomputed ``stats`` via an inner join with the new counts
+       BROADCAST — one map-side pass, emitting only fps the batch
+       actually uses.  Combined frequency > cap drops the fp from both
+       sides, exactly matching the full run's corpus-wide cap.
+    3. Index probe: ``left_semi`` join of index rows against the
+       broadcast kept-fp set — the corpus index never shuffles, and with
+       :func:`read_fingerprint_index` pruning it is not even fully
+       scanned.
+    4. Pairing: (new x matched-index) + (new x new) fp equi-joins, both
+       bounded by the new batch's size; shared-count threshold as in
+       :func:`winnow_near_duplicates`.
+
+    ``index_stats=None`` recomputes frequencies from ``index_rows``
+    (one extra aggregate over the index — fine for tests, wasteful at
+    scale).  ``fingerprints`` supplies pre-computed new-batch
+    (id_col, fp) rows, skipping step 1."""
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+
+    rows = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprint_rows(new_docs, id_col, text_col, k, w).localCheckpoint(
+            eager=True
+        )
+    )
+    new_ex = rows.where(F.col("fp").isNotNull()).select(
+        F.col(id_col).alias("id"), "fp"
+    )
+    stats = (
+        index_stats
+        if index_stats is not None
+        else index_rows.groupBy("fp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+    )
+    if max_fp_docs is not None:
+        new_counts = new_ex.groupBy("fp").agg(
+            F.count(F.lit(1)).cast("long").alias("__n_new")
+        )
+        # combined (index + new) doc frequency, computed without ever
+        # shuffling the index: fps in both sides via a broadcast inner
+        # join into stats; fps only in the new batch via new_counts alone
+        in_both = stats.join(F.broadcast(new_counts), "fp").select(
+            "fp", (F.col("n_docs") + F.col("__n_new")).alias("__tot")
+        )
+        hot = (
+            in_both.where(F.col("__tot") > max_fp_docs)
+            .select("fp")
+            .unionByName(
+                new_counts.where(F.col("__n_new") > max_fp_docs).select("fp")
+            )
+            .distinct()
+        )
+        new_ex = new_ex.join(F.broadcast(hot), "fp", "left_anti")
+    # the index contributes only fps the (capped) new batch still holds:
+    # broadcast left_semi = one map-side probe of the index rows
+    idx_hits = index_rows.join(
+        F.broadcast(new_ex.select("fp").distinct()), "fp", "left_semi"
+    )
+    a_new = new_ex.select(F.col("id").alias("id_n"), "fp")
+    cross = a_new.join(idx_hits.select(F.col("id").alias("id_i"), "fp"), "fp").select(
+        F.least("id_n", "id_i").alias("id_a"),
+        F.greatest("id_n", "id_i").alias("id_b"),
+    )
+    a = new_ex.select(F.col("id").alias("id_a"), "fp")
+    b = new_ex.select(F.col("id").alias("id_b"), "fp")
+    within = a.join(b, "fp").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return (
+        cross.unionByName(within)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 # ------------------------------------------------------- dedup groups --
 
 def _symmetrize(edges: DataFrame) -> DataFrame:

@@ -979,3 +979,145 @@ def test_drop_duplicate_spans_composition_semantics(spark):
     assert "doc two intro." in out[2] and "doc two tail." in out[2]
     assert "alpha preface" in out[3] and "omega endnote." in out[3]
     assert "unrelated head" in out[4] and "different coda." in out[4]
+
+
+# ------------------------------------------------ incremental dedup --
+
+
+def test_incremental_matches_full_run(spark, documents):
+    """THE parity contract: incremental pairs == full-corpus
+    winnow_near_duplicates restricted to pairs touching the new batch."""
+    from featherstore_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_near_duplicates,
+        winnow_near_duplicates,
+    )
+
+    new = documents.where(F.col("source") == "src19")
+    old = documents.where(F.col("source") != "src19")
+    rows, stats = build_fingerprint_index(old)
+    got = {
+        (r["id_a"], r["id_b"], r["shared_fps"])
+        for r in incremental_near_duplicates(
+            new, rows, stats, min_shared=20, max_fp_docs=50
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = {
+        (r["id_a"], r["id_b"], r["shared_fps"])
+        for r in winnow_near_duplicates(
+            documents, min_shared=20, max_fp_docs=50
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == full and got  # equal AND non-trivial
+
+
+def test_incremental_combined_hot_fp_cap(spark):
+    """A fingerprint under the cap on each side separately but over it
+    combined must be dropped — the cap is corpus-wide, not per-side."""
+    from featherstore_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_near_duplicates,
+    )
+
+    shared = "the exact same boilerplate passage everywhere " * 3
+    old = spark.createDataFrame(
+        [(i, shared) for i in range(3)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, shared) for i in range(3)], "doc_id long, text string"
+    )
+    rows, stats = build_fingerprint_index(old)
+    # cap=4: each side has 3 docs per fp (under), combined 6 (over) -> all
+    # fps dropped -> no pairs at all
+    capped = incremental_near_duplicates(
+        new, rows, stats, min_shared=1, max_fp_docs=4
+    )
+    assert capped.count() == 0
+    # cap=6: combined frequency exactly at the cap (keep <= cap) -> every
+    # new doc pairs with every other doc
+    kept = incremental_near_duplicates(new, rows, stats, min_shared=1, max_fp_docs=6)
+    assert kept.count() == 3 * 3 + 3  # new x old + new x new pairs
+
+
+def test_incremental_index_roundtrip_and_pruning(spark, documents, tmp_path):
+    """write/read round-trip preserves the result, and a read given the
+    new batch's fps lists ONLY the hit p_bucket partitions."""
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+    from featherstore_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_near_duplicates,
+        read_fingerprint_index,
+        write_fingerprint_index,
+    )
+
+    new = documents.where(F.col("source") == "src19").where(F.col("doc_id") % 5 == 0)
+    old = documents.where(F.col("source") != "src19")
+    rows, stats = build_fingerprint_index(old)
+    path = str(tmp_path / "fpindex")
+    write_fingerprint_index(rows, stats, path, n_buckets=16)
+
+    new_fps = winnow_fingerprint_rows(new).where(F.col("fp").isNotNull())
+    r2, s2 = read_fingerprint_index(spark, path, n_buckets=16, new_fps=new_fps)
+    got = incremental_near_duplicates(
+        new, r2, s2, min_shared=20, max_fp_docs=50,
+        fingerprints=new_fps,
+    ).collect()
+    ref = incremental_near_duplicates(
+        new, rows, stats, min_shared=20, max_fp_docs=50
+    ).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in ref}
+
+    # pruning: the filtered reader lists only the buckets the new fps
+    # hash into (and the index genuinely spans more buckets than that)
+    hit = {
+        r["b"]
+        for r in new_fps.select(
+            F.pmod(F.xxhash64("fp"), F.lit(16)).alias("b")
+        ).distinct().collect()
+    }
+    all_buckets = {
+        r["b"]
+        for r in rows.select(
+            F.pmod(F.xxhash64("fp"), F.lit(16)).alias("b")
+        ).distinct().collect()
+    }
+    read_buckets = {
+        int(f.split("p_bucket=")[1].split("/")[0]) for f in r2.inputFiles()
+    }
+    assert read_buckets == hit
+    if len(all_buckets) > len(hit):  # sf-dependent, but prune must never widen
+        assert len(read_buckets) < len(all_buckets)
+
+
+def test_incremental_empty_new_batch(spark, documents):
+    from featherstore_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_near_duplicates,
+    )
+
+    rows, stats = build_fingerprint_index(documents)
+    out = incremental_near_duplicates(
+        documents.where(F.lit(False)), rows, stats, min_shared=1
+    )
+    assert out.columns == ["id_a", "id_b", "shared_fps"] and out.count() == 0
+
+
+def test_incremental_plan_never_shuffles_index(spark, documents):
+    """The index side must reach the pair join through broadcast
+    semi/hash joins only — no exchange keyed on the corpus index rows
+    (the whole point of the incremental path)."""
+    from featherstore_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_near_duplicates,
+    )
+
+    new = documents.where(F.col("source") == "src19")
+    rows, stats = build_fingerprint_index(
+        documents.where(F.col("source") != "src19")
+    )
+    out = incremental_near_duplicates(new, rows, stats, min_shared=20, max_fp_docs=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
