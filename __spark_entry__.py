@@ -1567,7 +1567,10 @@ def _build_bloom_decon_oracle(
     probed against them — hit iff all n_hashes bits are set (a LEFT JOIN
     miss on the word is an unset bit).  md5-derived positions, 32 bits
     per BIGINT word, identical to the engine."""
-    h = f"('0x'||substring(md5('bf:{seed}:'||i::VARCHAR||':'||fp::VARCHAR),1,15))::BIGINT % {n_bits}"
+    from featherstore_spark.functions.hashing import sql_md5_long60
+
+    key = f"'bf:{seed}:'||i::VARCHAR||':'||fp::VARCHAR"
+    h = f"{sql_md5_long60(key)} % {n_bits}"
     return f"""
         WITH {_winnow_mins_cte(k, w)},
         sided AS (
@@ -2540,7 +2543,11 @@ def _build_profile_oracle(k: int = 128, table: str = "events") -> str:
             mn, mx = f"printf('%.6f', MIN({name}))", f"printf('%.6f', MAX({name}))"
             avg = "NULL::DOUBLE"
         if hv is not None:
-            dist = f"""(SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*)::DOUBLE
+            # COUNT(*)=0 must yield NULL, not 0.0: the engine emits no
+            # KMV partial for an all-NULL column, so its left join
+            # leaves n_distinct_est NULL
+            dist = f"""(SELECT CASE WHEN COUNT(*) = 0 THEN NULL::DOUBLE
+                       WHEN COUNT(*) < {k} THEN COUNT(*)::DOUBLE
                        ELSE ROUND({float(k - 1)} * {float(1 << 60)} / MAX(hv), 6) END
                 FROM (SELECT DISTINCT {hv} AS hv FROM {table}
                       WHERE {name} IS NOT NULL ORDER BY hv LIMIT {k}))"""

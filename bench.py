@@ -61,6 +61,7 @@ HEADLINE = [
     "winnow_near_dups",
     "char_ngram_jaccard",
     "dedup_groups",
+    "incremental_dedup",
     "top_ngrams",
     "tokenize_ids",
     "temperature_resample",

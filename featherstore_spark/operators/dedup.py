@@ -704,6 +704,12 @@ def matrix_allpairs_candidates(
         return pd.DataFrame({"id_a": ids_a, "id_b": ids_b})
 
     g = F.pmod(F.xxhash64(F.col("id")), F.lit(groups)).cast("int")
+    if block_col:
+        # equi-join block semantics: a NULL block key pairs with NOTHING
+        # (the 'block'/'prefix'/'lsh' paths all join on block_col, where
+        # SQL NULL never matches) — groupBy would instead make NULL its
+        # own block and silently pair those docs with each other
+        sets = sets.where(F.col(block_col).isNotNull())
     rows = (
         sets.where(F.size(set_col) > 0)  # empty/null sets pair with nothing at t>0
         .withColumn("__g", g)

@@ -214,6 +214,7 @@ def pq_fit_codebooks(
     hash sample (sampling.hash_sample composes — the twin adds one
     md5-coin WHERE) and encode the full corpus; the contract query fits
     on the full small-SF table for a sharper oracle."""
+    from featherstore_spark.functions.text import balance_small_input
     from featherstore_spark.operators.clustering import (
         _lloyd_centroids,
         quantize_vec,
@@ -222,7 +223,10 @@ def pq_fit_codebooks(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
-    qdf = corpus.select(
+    # same estimate-gated rebalance as kmeans_fit_assign: the m x
+    # (seed top-k + iters aggregates) Lloyd jobs inherit the scan's
+    # split count, and a small single-file corpus arrives as ONE split
+    qdf = balance_small_input(corpus).select(
         F.col(corpus_id).alias("vec_id"), quantize_vec(vec_col, dim).alias("__qfull")
     )
     books = []

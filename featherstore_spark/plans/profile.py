@@ -96,6 +96,12 @@ def profile_table(df: DataFrame, cols: list[str] | None = None, k: int = 128) ->
     fields = [f for f in df.schema.fields if cols is None or f.name in cols]
     if not fields:
         raise ValueError("no columns to profile")
+    if cols is not None:
+        missing = set(cols) - {f.name for f in fields}
+        if missing:
+            # a silently-dropped typo would ship a data card missing a
+            # column it was asked to profile
+            raise ValueError(f"columns not in schema: {sorted(missing)}")
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     null_str = F.lit(None).cast("string")
@@ -114,9 +120,15 @@ def profile_table(df: DataFrame, cols: list[str] | None = None, k: int = 128) ->
             ]
             spec["avg"] = True
         elif t in _FLOAT_TYPES:
+            # format_string('%.6f', NULL) prints the literal string
+            # 'null' (Java Formatter), unlike every other dtype's
+            # cast/date_format and unlike DuckDB's printf — guard so an
+            # all-NULL column yields SQL NULL on both engines
             aggs += [
-                F.format_string("%.6f", F.min(c)).alias(f"mn_{i}"),
-                F.format_string("%.6f", F.max(c)).alias(f"mx_{i}"),
+                F.when(F.min(c).isNotNull(), F.format_string("%.6f", F.min(c)))
+                .alias(f"mn_{i}"),
+                F.when(F.max(c).isNotNull(), F.format_string("%.6f", F.max(c)))
+                .alias(f"mx_{i}"),
             ]
         elif t.startswith("timestamp"):
             aggs += [

@@ -93,3 +93,36 @@ def test_ts_format_parity_with_duckdb(spark):
         for s in stamps
     ]
     assert got == want
+
+
+def test_profile_all_null_columns_render_sql_null(spark):
+    """All-NULL float must yield SQL NULL min/max (format_string('%.6f',
+    NULL) would print the literal string 'null'), and all-NULL hashed
+    columns NULL n_distinct_est on BOTH engines (the DuckDB twin's
+    zero-row aggregate used to yield 0.0)."""
+    import duckdb
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"d": [None, None], "s": [None, None], "i": [1, 2]}).astype(
+            {"d": "float64", "i": "int64", "s": "object"}
+        ),
+        "d double, s string, i long",
+    )
+    out = {r["col_name"]: r for r in profile_table(df, k=8).collect()}
+    assert out["d"]["min_s"] is None and out["d"]["max_s"] is None
+    assert out["s"]["n_distinct_est"] is None
+    # DuckDB side of the distinct rule: zero qualifying rows -> NULL
+    got = duckdb.connect().execute(
+        "SELECT CASE WHEN COUNT(*) = 0 THEN NULL::DOUBLE "
+        "WHEN COUNT(*) < 8 THEN COUNT(*)::DOUBLE ELSE 1.0 END "
+        "FROM (SELECT 1 AS hv WHERE false)"
+    ).fetchone()[0]
+    assert got is None
+
+
+def test_profile_unknown_requested_column_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="not in schema"):
+        profile_table(_crafted(spark), cols=["i", "nope"])

@@ -1121,3 +1121,20 @@ def test_incremental_plan_never_shuffles_index(spark, documents):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_matrix_null_block_matches_block_semantics(spark):
+    """Docs with a NULL block key pair with NOTHING on every method —
+    matrix must mirror the equi-join paths' SQL NULL-never-matches rule,
+    not groupBy's NULL-is-its-own-group rule."""
+    from featherstore_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, t, None), (2, t, None), (3, t, "en"), (4, t, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kw = dict(n=3, threshold=0.5, block_col="lang")
+    blk = {(r["id_a"], r["id_b"]) for r in
+           char_ngram_jaccard_pairs(df, method="block", **kw).collect()}
+    mat = {(r["id_a"], r["id_b"]) for r in
+           char_ngram_jaccard_pairs(df, method="matrix", **kw).collect()}
+    assert mat == blk == {(3, 4)}
