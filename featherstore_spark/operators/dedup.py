@@ -1361,13 +1361,47 @@ def drop_near_duplicate_groups(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Keep ONE representative (the minimum id) per connected near-dup
-    component — the terminal step of the dedup pipeline
-    (exact → candidate pairs → groups → filtered corpus)."""
+    """Keep ONE representative per connected near-dup component — the
+    terminal step of the dedup pipeline (exact → candidate pairs →
+    groups → filtered corpus).
+
+    Default representative: the minimum id (deterministic, requires no
+    extra column).  With ``quality_col``, the doc with the HIGHEST
+    quality (ties by min id — still total) survives instead — what a
+    training pipeline actually wants: when a cluster holds the clean
+    original and its mangled scrapes, keep the best copy, not the
+    earliest-crawled one.  Selection is one max_by aggregate over the
+    labeled rows (map-combinable, no window over the corpus); docs in
+    no component are untouched either way."""
     comps = connected_components(pairs)
-    losers = comps.where(F.col("id") != F.col("group_id")).select(
-        F.col("id").alias(id_col)
+    if quality_col is None:
+        losers = comps.where(F.col("id") != F.col("group_id")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    labeled = comps.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            # NULL quality loses to any scored doc (never wins on NULL
+            # semantics of the struct comparison)
+            F.coalesce(
+                F.col(quality_col).cast("double"), F.lit(float("-inf"))
+            ).alias("__q"),
+        ),
+        "id",
+    )
+    # max_by with an explicit total order: (quality DESC, id ASC) via a
+    # struct ordered (quality, -bias on id) — use min_by on the inverse
+    # struct to keep ties deterministic on any partitioning
+    winners = labeled.groupBy("group_id").agg(
+        F.expr("min_by(id, struct(-__q, id))").alias("keep_id")
+    )
+    losers = (
+        comps.join(winners, "group_id")
+        .where(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

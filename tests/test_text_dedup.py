@@ -1138,3 +1138,31 @@ def test_matrix_null_block_matches_block_semantics(spark):
     mat = {(r["id_a"], r["id_b"]) for r in
            char_ngram_jaccard_pairs(df, method="matrix", **kw).collect()}
     assert mat == blk == {(3, 4)}
+
+
+def test_drop_groups_quality_representative(spark):
+    """With quality_col the HIGHEST-quality doc survives each component
+    (ties by min id; NULL quality never wins); without it, min id as
+    before; un-paired docs untouched either way."""
+    from featherstore_spark.operators.dedup import drop_near_duplicate_groups
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),      # component {1,2,3}: 2 wins (tie 2<3)
+            (10, None), (11, 0.1),             # component {10,11}: 11 (NULL loses)
+            (20, 0.5),                         # isolated: kept
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept_q = {
+        r["doc_id"]
+        for r in drop_near_duplicate_groups(df, pairs, quality_col="q").collect()
+    }
+    assert kept_q == {2, 11, 20}
+    kept_min = {
+        r["doc_id"] for r in drop_near_duplicate_groups(df, pairs).collect()
+    }
+    assert kept_min == {1, 10, 20}
