@@ -90,6 +90,9 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.2 * F.least(stop_ratio * 10.0, F.lit(1.0)) + 0.2 * tok_ok,
         6,
     )
+    # per-row regex/tokenize work runs in the scan stage; rebalance small
+    # single-split inputs so it parallelizes (estimate-gated no-op at scale)
+    df = balance_small_input(df)
     return (
         df.withColumn("n_chars_computed", n_chars)
         .withColumn("n_tokens", n_tok)
@@ -144,10 +147,12 @@ def repetition_stats(
     (≈``top_n``+``dup_n`` ≈ 5× text bytes); at extreme scale narrow it to
     ``md5_long60(gram)`` + ``length(gram)`` on BOTH engine and oracle —
     the fractions only read counts and lengths."""
-    from pyspark.sql import Window
-
     nid = "__rid"
-    base = df.select(F.col(id_col).alias(nid), F.col(text_col).alias("__txt"))
+    # line/token explodes + gram builds are scan-stage per-row work;
+    # rebalance small single-split inputs (estimate-gated no-op at scale)
+    base = balance_small_input(df).select(
+        F.col(id_col).alias(nid), F.col(text_col).alias("__txt")
+    )
 
     lines = base.select(
         nid,
@@ -167,32 +172,41 @@ def repetition_stats(
         F.sum(F.when(F.col("c") > 1, cl).otherwise(0)).alias("dup_line_chars"),
     )
 
-    toks = base.select(
-        nid, F.posexplode(F.transform(ws_tokens("__txt"), F.lower)).alias("pos", "tok")
-    )
-    w = Window.partitionBy(nid).orderBy("pos")
-    # windows must be projected BEFORE the explode (generators reject
-    # window expressions); doc-local partitions, no global sort
-    led = toks.select(
+    # n-grams are built DOC-LOCALLY from the token array via zip_with
+    # over n shifted slices (the shingles construction in operators/
+    # dedup.py): the previous lead()-over-window form shuffled and
+    # sorted one row per TOKEN of the corpus just to look ahead n-1
+    # positions inside each doc — a pure-HOF build emits the identical
+    # gram multiset with ZERO exchange before the gram aggregate.
+    # The explode(array(...)) generator barrier stores the token array
+    # once per row (tokenizer not re-inlined per gram array).
+    toks_arr = base.select(
         nid,
-        F.col("tok").alias("__l0"),
-        *[F.lead("tok", i).over(w).alias(f"__l{i}") for i in range(1, max(top_n, dup_n))],
+        F.explode(F.array(F.transform(ws_tokens("__txt"), F.lower))).alias("__ta"),
     )
-    leads = [F.col(f"__l{i}") for i in range(max(top_n, dup_n))]
+    ta = F.col("__ta")
 
-    def _gram(n: int) -> Column:
-        # NULL (→ dropped) until the doc has a full n-gram at this pos
-        return F.when(leads[n - 1].isNotNull(), F.concat_ws(" ", *leads[:n]))
+    def _gram_arr(n: int) -> Column:
+        # positions 1..len-n+1, exactly the rows the lead() form kept
+        m = F.greatest(F.size(ta) - F.lit(n - 1), F.lit(0))
+        shifted = [F.slice(ta, i + 1, m) for i in range(n)]
+        g = shifted[0]
+        for nxt in shifted[1:]:
+            g = F.zip_with(g, nxt, lambda a, b: F.concat_ws(" ", a, b))
+        return g
 
-    grams = led.select(
-        nid,
-        F.explode(
-            F.array(
-                F.struct(F.lit("top").alias("which"), _gram(top_n).alias("g")),
-                F.struct(F.lit("dup").alias("which"), _gram(dup_n).alias("g")),
-            )
-        ).alias("__e"),
-    ).select(nid, "__e.which", "__e.g").where(F.col("g").isNotNull())
+    grams = (
+        toks_arr.select(
+            nid,
+            F.explode(
+                F.array(
+                    F.struct(F.lit("top").alias("which"), _gram_arr(top_n).alias("gs")),
+                    F.struct(F.lit("dup").alias("which"), _gram_arr(dup_n).alias("gs")),
+                )
+            ).alias("__e"),
+        )
+        .select(nid, "__e.which", F.explode("__e.gs").alias("g"))
+    )
     gc = grams.groupBy(nid, "which", "g").agg(F.count(F.lit(1)).alias("c"))
     gcl = F.col("c") * F.length("g")
     is_top, is_dup = F.col("which") == "top", F.col("which") == "dup"
@@ -302,6 +316,9 @@ def c4_line_clean(
     for term in C4_DOC_BLOCKLIST:
         doc_blocked = doc_blocked | F.contains(F.lower(c), F.lit(term))
     n_kept = F.size(kept).cast("long")
+    # the line-filter HOFs are scan-stage per-row work; rebalance small
+    # single-split inputs (estimate-gated no-op at scale)
+    df = balance_small_input(df)
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),
@@ -340,6 +357,11 @@ def top_ngrams(
     # Generator barrier: the child Project (doc id + tokenizer) is
     # evaluated once per input row; `__t` below is a stored attribute,
     # so the element_at references inside the gram lambda are O(1).
+    # Rebalance small single-split inputs first so the tokenizer + gram
+    # explode parallelize (estimate-gated no-op at scale; the synthetic
+    # __d doc ids stay unique per row under any partitioning, so the
+    # per-gram distinct-doc counts are unchanged).
+    df = balance_small_input(df)
     docs = df.select(
         F.monotonically_increasing_id().alias("__d"),
         F.explode(F.array(F.transform(ws_tokens(text_col), F.lower))).alias("__t"),
@@ -406,6 +428,9 @@ def pii_scrub(
     has_pii = F.lit(False)
     for name, _ in PII_PATTERNS:
         has_pii = has_pii | (counts[name] > 0)
+    # the regex chain is scan-stage per-row work; rebalance small
+    # single-split inputs (estimate-gated no-op at scale)
+    df = balance_small_input(df)
     return df.select(
         F.col(id_col),
         c.alias("clean_text"),
@@ -764,7 +789,15 @@ def char_bigram_lm(
         .localCheckpoint(eager=True)
     )
     gsrc = norm.select(F.col(id_col), char_bigram_grams("__s").alias("__grams"))
-    cnts = gsrc.select(F.explode("__grams").alias("g")).groupBy("g").count()
+    # TWO driver jobs read cnts (total mass + top-V vocab); checkpoint it
+    # so the gram explode + aggregate runs once — the table is O(distinct
+    # bigrams), tiny at any corpus scale
+    cnts = (
+        gsrc.select(F.explode("__grams").alias("g"))
+        .groupBy("g")
+        .count()
+        .localCheckpoint(eager=True)
+    )
     n_total = cnts.agg(F.sum("count").alias("n")).collect()[0]["n"]
     if not n_total:
         return df.select(

@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from featherstore_spark.functions.hashing import md5_long60
-from featherstore_spark.operators.similarity import _cos
 
 # Fixed-point parameters.  offset=1.0 maps any input in (-1, +inf) to a
 # non-negative integer; scale=10^4 keeps 64-dim squared distances below
@@ -200,10 +199,19 @@ def kmeans_fit_assign(
     # small single-file corpora arrive as ONE split — rebalance so the
     # per-iteration jobs use full parallelism (no-op on big inputs,
     # estimate-gated exactly like the winnowing path)
-    qdf = balance_small_input(df).select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias(vec_col),
-        quantize_vec(vec_col, dim, scale, offset).alias("qv"),
+    qdf = (
+        balance_small_input(df)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            quantize_vec(vec_col, dim, scale, offset).alias("qv"),
+        )
+        # quantization (4 validation HOF passes + the transform) would
+        # otherwise re-run per Lloyd job: seed top-k + every iteration's
+        # aggregate + the final assignment all scan this relation.
+        # Checkpointing costs one pass and O(rows × dim) executor-local
+        # blocks; at corpus scale a caller would persist this table.
+        .localCheckpoint(eager=True)
     )
     centroids = _lloyd_centroids(qdf, k, iters, dim, f"km:{seed}:", id_col)
     return (
@@ -234,31 +242,166 @@ def semantic_dedup(
     ``max_cluster_size`` set, boilerplate mega-clusters are capped by the
     map-combinable hot-key guard before the join (capped rows are KEPT —
     dropping data because it was merely popular is the wrong default)."""
+    from featherstore_spark.operators.similarity import _cos_prenorm, _norm_hof
+
     assigned, _ = kmeans_fit_assign(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim, seed=seed
     )
-    members = assigned.select(F.col(id_col).alias("mid"), F.col(vec_col).alias("mv"), "cluster_id")
+    # Materialize (id, vec, cluster_id, norm) ONCE: the assignment
+    # expression (quantize validation + k×dim argmin, all interpreted
+    # HOFs) would otherwise re-execute for every consumer below — both
+    # pair-join sides AND the final keep join (3× the per-row cost).
+    # The norm is precomputed per ROW here so the per-PAIR condition is
+    # one dot + a division instead of three HOF folds
+    # (similarity._cos_prenorm: bit-identical arithmetic — measured 3.8×
+    # on the pair join; the expanded fixed-dim dot measured SLOWER than
+    # the HOF fold and is not used).
+    members = (
+        assigned.select(
+            F.col(id_col).alias("mid"),
+            F.col(vec_col).alias("mv"),
+            "cluster_id",
+            _norm_hof(F.col(vec_col)).alias("mn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    paired = members
     if max_cluster_size is not None:
         from featherstore_spark.operators.dedup import _drop_hot_keys
 
-        members = _drop_hot_keys(members, ["cluster_id"], max_cluster_size)
-    a = members.select(F.col("mid").alias("id_a"), F.col("mv").alias("va"), "cluster_id")
-    b = members.select(F.col("mid").alias("id_b"), F.col("mv").alias("vb"), "cluster_id")
+        paired = _drop_hot_keys(paired, ["cluster_id"], max_cluster_size)
+    # Pair phase: per-task float64 BLAS blocks over the triangular
+    # group-pair decomposition (the matrix_allpairs_candidates pattern in
+    # operators/dedup.py, adapted to cosine).  Why not the plain
+    # cluster_id equi-join: its INPUT is tiny (k keys, a few MB) while
+    # its OUTPUT fans out as Σ|cluster|², so AQE coalesces the whole
+    # quadratic pair space onto 1-2 tasks (measured at sf1.0), and even
+    # fully parallel, each pair pays an interpreted HOF dot (~µs/pair).
+    # A matmul does the same 25M dots in well under a second — and the
+    # result stays BIT-IDENTICAL through the certain/border split below.
+    #
+    # Numerics (mirrors the matrix_allpairs 1e-6-slack proof):
+    #   exact predicate: round6(cos) >= t  ⟺  cos >= B ≈ t − 5e-7
+    #     (HALF_UP at the 6th decimal; t is a 6-dp literal)
+    #   |blas − exact| < 1e-9 for float64 dots at dim ≤ 4096
+    #   certain zone  blas >= t − 4e-7 ⇒ exact > t − 5e-7  (always drops)
+    #   border zone   t − 6e-7 <= blas < t − 4e-7 → JVM-exact re-check
+    #   below border  blas < t − 6e-7 ⇒ exact < B            (never drops)
+    # so every drop decision either is provably unaffected by the float
+    # error, or is re-made by the exact JVM expression.
+    import numpy as np
+    import pandas as pd
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    max_task_pairs = 4_000_000  # float64 S-block ≤ 32 MB per task
+    size_max = (
+        paired.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    )
+    if not size_max:
+        return members.select(
+            F.col("mid").alias(id_col), "cluster_id", F.lit(True).alias("keep")
+        )
+    g_mem = int(np.ceil(size_max / max(np.sqrt(max_task_pairs), 1.0)))
+    g_par = 1
+    while g_par * (g_par + 1) // 2 * max(k, 1) < 2 * par:
+        g_par += 1
+    groups = max(g_mem, min(g_par, 8), 1)
+    thr = float(threshold)
+    id_type = paired.schema["mid"].dataType.simpleString()
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pdf["mid"][:0],
+                "id_b": pdf["mid"][:0],
+                "certain": pd.Series([], dtype=bool),
+            }
+        )
+        ka, kb = int(pdf["__ka"].iat[0]), int(pdf["__kb"].iat[0])
+        within = ka == kb
+        if within:
+            a_pdf = b_pdf = pdf
+        else:
+            own = pdf["__g"].to_numpy()
+            a_pdf, b_pdf = pdf[own == ka], pdf[own == kb]
+        na_n, nb_n = len(a_pdf), len(b_pdf)
+        if na_n == 0 or nb_n == 0:
+            return empty
+        if na_n * nb_n > max_task_pairs:
+            raise ValueError(
+                f"semantic_dedup: task pair block {na_n}x{nb_n} exceeds "
+                f"{max_task_pairs}; cluster too dense for the group count — "
+                "set max_cluster_size or raise the memory budget"
+            )
+
+        def _unit(p):
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in p["mv"]])
+            n = p["mn"].to_numpy(dtype=np.float64)
+            x = x / np.where(n > 0, n, 1.0)[:, None]
+            x[n <= 0] = 0.0  # zero-norm rows: cos defined as 0.0
+            return x
+
+        xa = _unit(a_pdf)
+        xb = xa if within else _unit(b_pdf)
+        s = xa @ xb.T
+        ids_a = a_pdf["mid"].to_numpy()
+        ids_b = ids_a if within else b_pdf["mid"].to_numpy()
+        mask = ids_a[:, None] < ids_b[None, :] if within else np.ones_like(s, dtype=bool)
+        cert = (s >= thr - 4e-7) & mask
+        bord = (s >= thr - 6e-7) & ~(s >= thr - 4e-7) & mask
+        out = []
+        ii, jj = np.nonzero(cert)
+        if len(ii):
+            drops = np.unique(np.maximum(ids_a[ii], ids_b[jj]))
+            out.append(pd.DataFrame({"id_a": drops, "id_b": drops, "certain": True}))
+        ii, jj = np.nonzero(bord)
+        if len(ii):
+            lo = np.minimum(ids_a[ii], ids_b[jj])
+            hi = np.maximum(ids_a[ii], ids_b[jj])
+            out.append(pd.DataFrame({"id_a": lo, "id_b": hi, "certain": False}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    rows = (
+        paired.withColumn("__g", F.pmod(F.xxhash64("mid"), F.lit(groups)).cast("int"))
+        .withColumn("__h", F.explode(F.sequence(F.lit(0), F.lit(groups - 1))))
+        .select(
+            "mid", "mv", "mn", "cluster_id", "__g",
+            F.least("__g", "__h").alias("__ka"),
+            F.greatest("__g", "__h").alias("__kb"),
+        )
+    )
+    out = rows.groupBy("cluster_id", "__ka", "__kb").applyInPandas(
+        _emit, schema=f"id_a {id_type}, id_b {id_type}, certain boolean"
+    )
+    certain_drops = out.where(F.col("certain")).select(F.col("id_b").alias("drop_id"))
+    border = out.where(~F.col("certain")).select("id_a", "id_b")
+    ba = members.select(
+        F.col("mid").alias("id_a"), F.col("mv").alias("va"), F.col("mn").alias("na")
+    )
+    bb = members.select(
+        F.col("mid").alias("id_b"), F.col("mv").alias("vb"), F.col("mn").alias("nb")
+    )
+    border_drops = (
+        border.join(ba, "id_a")
+        .join(bb, "id_b")
+        .where(F.round(_cos_prenorm("va", "vb", "na", "nb"), 6) >= F.lit(thr))
+        .select(F.col("id_b").alias("drop_id"))
+    )
     # The drop list can be a large fraction of the corpus (that is the
     # point of dedup), so it is NOT broadcast: keep/drop is resolved by a
     # shuffle equi-join on id — scalable regardless of dup rate.
     dropped = (
-        a.join(b, "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(_cos("va", "vb"), 6) >= F.lit(float(threshold)))
-        .select(F.col("id_b").alias("drop_id"))
+        certain_drops.unionByName(border_drops)
         .distinct()
         .withColumn("__drop", F.lit(True))
     )
     return (
-        assigned.join(dropped, assigned[id_col] == dropped["drop_id"], "left")
+        members.join(dropped, members["mid"] == dropped["drop_id"], "left")
         .select(
-            F.col(id_col),
+            F.col("mid").alias(id_col),
             "cluster_id",
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
         )

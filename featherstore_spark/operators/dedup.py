@@ -89,8 +89,15 @@ def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str =
 # --------------------------------------------------------------- jaccard --
 
 def with_token_set(df: DataFrame, text_col: str = "text", out_col: str = "tok") -> DataFrame:
-    """Distinct lowercased whitespace tokens, sorted (set semantics)."""
-    return df.withColumn(
+    """Distinct lowercased whitespace tokens, sorted (set semantics).
+
+    Rebalanced first (estimate-gated no-op at scale): the tokenize +
+    distinct + sort runs in the SCAN stage, and a small single-row-group
+    parquet arrives as ONE split — without the rebalance the whole
+    token-set build serializes through one task (guide §2.5 input skew)."""
+    from featherstore_spark.functions.text import balance_small_input
+
+    return balance_small_input(df).withColumn(
         out_col, F.array_sort(F.array_distinct(F.transform(ws_tokens(text_col), F.lower)))
     )
 
@@ -217,7 +224,14 @@ def minhash_signatures(
 
     md5 (not xxhash64) so the signature pipeline is recomputable in
     DuckDB SQL — the driver value-checks emitted near-dup pairs — and so
-    stored signatures are pinned to the engine, not a library version."""
+    stored signatures are pinned to the engine, not a library version.
+
+    The input is rebalanced first (estimate-gated no-op at scale): the
+    shingle build + per-shingle md5 all run map-side in the scan stage,
+    and a single-row-group file would serialize that through one task."""
+    from featherstore_spark.functions.text import balance_small_input
+
+    df = balance_small_input(df)
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, shingle_n)).alias("__s"),
@@ -327,6 +341,12 @@ def simhash_60(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     # hash makes every per-bit SUM null, the majority-vote WHEN is then
     # null -> otherwise(0), so empty docs get simhash 0 in the same single
     # aggregate — no second scan, no id-preserving join (one shuffle total).
+    # Rebalanced first (estimate-gated no-op at scale): tokenize + md5 +
+    # the 60 bit-plane partials are all map-side scan-stage work that a
+    # single-row-group file would serialize through one task.
+    from featherstore_spark.functions.text import balance_small_input
+
+    df = balance_small_input(df)
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(ws_tokens(text_col)).alias("__tok"),
@@ -566,6 +586,12 @@ def gram_minhash_candidates(
         # (pyspark maps lambda arity onto the HOF's argument count)
         return lambda x: (F.lit(a) * F.pmod(x, F.lit(MERSENNE31)) + F.lit(b)) % MERSENNE31
 
+    # NOTE (r6): an explode → k MIN-aggregate rewrite of this block was
+    # measured at sf1.0 and REVERTED: unlike minhash_signatures (whose
+    # per-shingle md5 lives in the exploded rows), the grams here are
+    # already-hashed ints, the per-row HOF pass is map-side cheap
+    # (~0.7 s warm vs ~1.0 s for the agg form), and the agg added an
+    # exchange that _drop_hot_keys then evaluated twice.
     sigs = grams.where(F.size("g") > 0).select(  # empty docs pair with nothing
         "id",
         F.array(*[
@@ -853,6 +879,11 @@ def char_ngram_jaccard_pairs(
             F.col("id").alias("id_b"), F.col("g").alias("g_b"),
             *([F.col(block_col).alias("__blk_b")] if block_filter_needed else []),
         )
+        # NOTE (r6): an explicit repartition of the candidate rows before
+        # this join was measured and REVERTED — the broadcast verify
+        # fuses into the candidate-distinct stage, and a separate
+        # exchange of the ~27.7M sf1.0 LSH candidates cost ~10 s more
+        # than the fusion it replaced.
         pairs = candidates.select("id_a", "id_b").join(ga, "id_a").join(gb, "id_b")
         if block_filter_needed:
             pairs = pairs.where(

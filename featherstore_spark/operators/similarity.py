@@ -41,6 +41,60 @@ def _cos(v_a: str, v_b: str) -> F.Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _dot_fixed(v_a, v_b, dim: int) -> F.Column:
+    """Dot product of two array<double> columns with a KNOWN length bound,
+    expanded to a flat ``0.0 + a[1]*b[1] + … + a[dim]*b[dim]`` expression.
+
+    Bit-identical to the ``aggregate(zip_with(a, b, *), 0.0, +)`` fold in
+    :func:`_cos` whenever ``dim == max(len(a), len(b))`` (the zip length):
+    the addition tree is the same left-associated order, and
+    ``try_element_at`` past the shorter array's end yields NULL exactly
+    like ``zip_with``'s padding (NULL then poisons the sum the same way).
+    Callers must therefore only pass a ``dim`` their pipeline asserts —
+    e.g. after ``clustering.quantize_vec``'s size check, or a declared
+    embedding dimension.  The win is plan shape, not semantics:
+    higher-order functions evaluate interpreted (lambda dispatch per
+    element), while this form compiles into whole-stage codegen (guide
+    §4.1: prefer built-ins/codegen over interpreted per-element
+    execution)."""
+    a = F.col(v_a) if isinstance(v_a, str) else v_a
+    b = F.col(v_b) if isinstance(v_b, str) else v_b
+    e = F.lit(0.0)
+    for i in range(1, dim + 1):
+        e = e + F.try_element_at(a, F.lit(i)) * F.try_element_at(b, F.lit(i))
+    return e
+
+
+def _norm_hof(v) -> F.Column:
+    """sqrt(sum of squares) — EXACTLY the ``na``/``nb`` leg of
+    :func:`_cos` (same HOF fold, any array length).  Kept in HOF form on
+    purpose: norms are computed once per ROW (cheap), and the HOF is
+    length-generic, so precomputed norms match the inline ones
+    bit-for-bit on every input including malformed short vectors."""
+    a = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _cos_prenorm(v_a, v_b, na, nb, dim: int | None = None) -> F.Column:
+    """:func:`_cos` with PRE-COMPUTED norm columns: on a pair join, each
+    side's norm is a pure function of that side's vector, so computing it
+    once per ROW before the join (instead of once per PAIR inside the
+    join condition) removes two thirds of the per-pair arithmetic with
+    bit-identical results (same expression, same input).  With ``dim``
+    (callers whose pipeline asserts the vector length) the dot also
+    switches to the codegen :func:`_dot_fixed` expansion; without it the
+    generic HOF fold is kept."""
+    if dim is not None:
+        dot = _dot_fixed(v_a, v_b, dim)
+    else:
+        dot = F.aggregate(
+            F.zip_with(v_a, v_b, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -50,16 +104,20 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine for every query vector.  Self-matches (same
-    id) are excluded.  Ties break by corpus id ASC (deterministic)."""
+    id) are excluded.  Ties break by corpus id ASC (deterministic).
+
+    Each side's norm is computed once per ROW before the pair join
+    (:func:`_cos_prenorm`): per (query, corpus) pair only the dot + one
+    division remain — bit-identical to the inline :func:`_cos`."""
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("__qn", _norm_hof("qv"))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("__cn", _norm_hof("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_cos("qv", "cv"), 6))
+        .withColumn("cosine", F.round(_cos_prenorm("qv", "cv", "__qn", "__cn"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -198,6 +256,7 @@ def pq_fit_codebooks(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    prequantized: DataFrame | None = None,
 ) -> list[list[list[int]]]:
     """Product-quantization codebook fit (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): the vector space is
@@ -225,18 +284,33 @@ def pq_fit_codebooks(
     sub = dim // m
     # same estimate-gated rebalance as kmeans_fit_assign: the m x
     # (seed top-k + iters aggregates) Lloyd jobs inherit the scan's
-    # split count, and a small single-file corpus arrives as ONE split
-    qdf = balance_small_input(corpus).select(
-        F.col(corpus_id).alias("vec_id"), quantize_vec(vec_col, dim).alias("__qfull")
+    # split count, and a small single-file corpus arrives as ONE split.
+    # The quantized table is CHECKPOINTED once — every subspace's seed
+    # top-k and every Lloyd aggregate (m × (iters+1) jobs) would
+    # otherwise re-run the scan + quantize validation HOFs.
+    # ``prequantized`` lets pq_ann_topk share ONE such table between the
+    # fit and the encode pass.
+    qdf = (
+        prequantized
+        if prequantized is not None
+        else balance_small_input(corpus)
+        .select(F.col(corpus_id).alias("vec_id"), quantize_vec(vec_col, dim).alias("__qfull"))
+        .localCheckpoint(eager=True)
     )
-    books = []
-    for s in range(m):
-        sliced = qdf.select(
-            "vec_id", F.slice("__qfull", s * sub + 1, sub).alias("qv")
-        )
-        books.append(
-            _lloyd_centroids(sliced, ks, iters, sub, f"pq:{seed}:{s}:", "vec_id")
-        )
+
+    # The m subspace fits are INDEPENDENT job chains of tiny aggregates
+    # over the checkpointed table — run them from a thread pool so each
+    # chain's driver round-trips overlap instead of serializing (guide
+    # §2.6 overlap-independent-jobs; results are deterministic because
+    # every chain is a pure function of qdf and its own seed tag).
+    def _fit(s: int) -> list[list[int]]:
+        sliced = qdf.select("vec_id", F.slice("__qfull", s * sub + 1, sub).alias("qv"))
+        return _lloyd_centroids(sliced, ks, iters, sub, f"pq:{seed}:{s}:", "vec_id")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        books = list(pool.map(_fit, range(m)))
     return books
 
 
@@ -246,18 +320,27 @@ def pq_encode(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    prequantized: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` small codes: per subspace, the
     argmin-distance codebook entry (ties break on code index ASC via the
     same (d, c) struct-min as k-means assignment).  Output is
     (corpus_id, codes array<int>) — m ints instead of dim floats, the
-    16-64× compression that lets the ANN scan touch ONLY codes."""
+    16-64× compression that lets the ANN scan touch ONLY codes.
+    ``prequantized`` (a (vec_id, __qfull) table, e.g. the codebook fit's
+    checkpoint) skips re-quantizing the corpus — without it the chained
+    per-subspace withColumns collapse into one Project where the
+    quantize-validation HOFs are re-inlined per reference."""
     from featherstore_spark.operators.clustering import _assign_expr, quantize_vec
 
     m = len(books)
     sub = dim // m
-    enc = corpus.select(
-        F.col(corpus_id).alias("vec_id"), quantize_vec(vec_col, dim).alias("__qfull")
+    enc = (
+        prequantized
+        if prequantized is not None
+        else corpus.select(
+            F.col(corpus_id).alias("vec_id"), quantize_vec(vec_col, dim).alias("__qfull")
+        )
     )
     for s in range(m):
         enc = enc.withColumn(f"__qs{s}", F.slice("__qfull", s * sub + 1, sub)).withColumn(
@@ -320,11 +403,22 @@ def pq_ann_topk(
     engine-independent and the DuckDB twin value-checks the whole
     pipeline — codebook fit included.  Output: (query_id, neighbor_id,
     adc_dist, rank), self-matches excluded, ties by neighbor_id ASC."""
+    from featherstore_spark.functions.text import balance_small_input
     from featherstore_spark.operators.clustering import quantize_vec
 
-    books = pq_fit_codebooks(corpus, m, ks, iters, corpus_id, vec_col, dim, seed)
+    # quantize + validate the corpus ONCE for both the codebook fit and
+    # the encode pass (each would otherwise re-run the scan + the
+    # quantize HOFs across their many jobs)
+    qfull = (
+        balance_small_input(corpus)
+        .select(F.col(corpus_id).alias("vec_id"), quantize_vec(vec_col, dim).alias("__qfull"))
+        .localCheckpoint(eager=True)
+    )
+    books = pq_fit_codebooks(
+        corpus, m, ks, iters, corpus_id, vec_col, dim, seed, prequantized=qfull
+    )
     sub = dim // m
-    codes = pq_encode(corpus, books, corpus_id, vec_col, dim)
+    codes = pq_encode(corpus, books, corpus_id, vec_col, dim, prequantized=qfull)
 
     q = queries.select(
         F.col(query_id).alias("query_id"), quantize_vec(vec_col, dim).alias("__qfull")

@@ -41,11 +41,15 @@ def _kmv_partials_gen(keys: list[str], k: int):
             if pdf.empty:
                 continue
             vals = pdf["__v"].dropna()
-            hs = vals.map(
+            tmp = pdf.loc[vals.index, keys].copy()
+            tmp["__v"] = vals
+            # dedup (keys, value) BEFORE hashing: the sketch keeps only
+            # distinct hashes per key, so md5 per occurrence is pure
+            # waste on repeated values (the common case for entity ids)
+            tmp = tmp.drop_duplicates()
+            tmp["__h"] = tmp["__v"].map(
                 lambda s: int(hashlib.md5(str(s).encode("utf-8")).hexdigest()[:15], 16)
             )
-            tmp = pdf.loc[hs.index, keys].copy()
-            tmp["__h"] = hs
             rows = []
             for kv, grp in tmp.groupby(keys, dropna=False, sort=False):
                 kv = kv if isinstance(kv, tuple) else (kv,)
@@ -73,8 +77,13 @@ def kmv_sketch(
     excluded — NULL is not a value, matching COUNT(DISTINCT)).  Returns
     (keys…, sketch: array<long>) with the k smallest distinct hashes,
     ascending."""
+    from featherstore_spark.functions.text import balance_small_input
+
     keys = [keys] if isinstance(keys, str) else list(keys)
-    src = df.select(*keys, F.col(col).cast("string").alias("__v"))
+    # the per-value python md5 runs map-side in the scan stage; rebalance
+    # small single-split inputs so it parallelizes (estimate-gated no-op
+    # at scale)
+    src = balance_small_input(df).select(*keys, F.col(col).cast("string").alias("__v"))
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema if f.name != "__v")
     partials = src.mapInPandas(
         _kmv_partials_gen(keys, k), schema=f"{schema}, partial array<long>"

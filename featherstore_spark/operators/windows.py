@@ -93,6 +93,12 @@ def tumbling_aggregates(
     """A1 fixed windows per entity: turn counts, tool-call rate, distinct
     roles, text volume.  ``F.window`` aligns to the epoch — identical
     bucketing to DuckDB/PostgreSQL ``time_bucket`` (oracle-checkable)."""
+    from featherstore_spark.functions.text import balance_small_input
+
+    # the window assignment + partial aggregation happen map-side in the
+    # scan stage; rebalance small single-split inputs so they parallelize
+    # (estimate-gated no-op at scale)
+    df = balance_small_input(df)
     win = F.window(F.col(ts_col), width)
     return (
         df.groupBy(F.col(entity_col), win.start.alias("window_start"))
@@ -117,6 +123,13 @@ def sliding_aggregates(
     ``F.window(ts, width, slide)`` — Spark expands rows into their windows
     map-side, then partial-aggregates, so the shuffle carries aggregates
     not raw rows."""
+    from featherstore_spark.functions.text import balance_small_input
+
+    # each row expands into width/slide windows BEFORE the partial
+    # aggregate — all map-side scan-stage work; rebalance small
+    # single-split inputs so it parallelizes (estimate-gated no-op at
+    # scale)
+    df = balance_small_input(df)
     win = F.window(F.col(ts_col), width, slide)
     return (
         df.groupBy(F.col(entity_col), win.start.alias("window_start"))

@@ -64,9 +64,12 @@ def _profile_kmv_gen(cols: list[str], k: int):
                 vals = pdf[c].dropna()
                 if vals.empty:
                     continue
+                # dedup BEFORE hashing: the sketch only keeps distinct
+                # hashes, so md5 per occurrence is pure waste on
+                # low-cardinality columns (event_type etc.)
                 hs = {
                     int(hashlib.md5(str(s).encode("utf-8")).hexdigest()[:15], 16)
-                    for s in vals
+                    for s in vals.unique()
                 }
                 rows.append((c, sorted(hs)[:k]))
             if rows:
@@ -93,9 +96,16 @@ def profile_table(df: DataFrame, cols: list[str] | None = None, k: int = 128) ->
     (col_name, dtype, n_rows, n_null, n_distinct_est, min_s, max_s,
     avg_num).  See the module docstring for the per-dtype rules and the
     two-pass scale shape."""
+    from featherstore_spark.functions.text import balance_small_input
+
     fields = [f for f in df.schema.fields if cols is None or f.name in cols]
     if not fields:
         raise ValueError("no columns to profile")
+    # both passes (the wide agg and the KMV mapInPandas) do their real
+    # work map-side in the scan stage; a small single-row-group file
+    # would serialize them through one task (estimate-gated no-op at
+    # scale — guide §2.5 input skew)
+    df = balance_small_input(df)
     if cols is not None:
         missing = set(cols) - {f.name for f in fields}
         if missing:
