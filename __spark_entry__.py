@@ -240,7 +240,12 @@ def q_rolling_window(spark, sf_dir):
 
 
 def q_tumbling_agg(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    from featherstore_spark.functions.text import balance_small_input
+
+    # window assignment + the partial aggregate (incl. the countDistinct
+    # Expand) are map-side scan-stage work; a single-row-group file would
+    # serialize them through one task (estimate-gated no-op at scale)
+    ev = balance_small_input(_t(spark, sf_dir, "events"))
     win = F.window(F.col("ts"), "1 hour")
     return ev.groupBy(F.col("user_id"), win.start.alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -250,7 +255,12 @@ def q_tumbling_agg(spark, sf_dir):
 
 
 def q_sliding_agg(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    from featherstore_spark.functions.text import balance_small_input
+
+    # every event expands into width/slide = 4 windows before the partial
+    # aggregate — map-side scan-stage work (estimate-gated rebalance,
+    # no-op at scale)
+    ev = balance_small_input(_t(spark, sf_dir, "events"))
     win = F.window(F.col("ts"), "1 hour", "15 minutes")
     return ev.groupBy(F.col("user_id"), win.start.alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_events")

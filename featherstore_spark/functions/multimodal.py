@@ -1217,6 +1217,12 @@ def decode_media(df: DataFrame, decoder: str = "fake", batch_rows: int = 256) ->
     out_schema = T.StructType(
         [f for f in MEDIA_SCHEMA.fields if f.name != "payload"] + DECODED_FIELDS
     )
+    from featherstore_spark.functions.text import balance_small_input
+
+    # the per-payload python decode runs map-side in the scan stage;
+    # rebalance small single-split inputs so it parallelizes
+    # (estimate-gated no-op at scale)
+    df = balance_small_input(df)
 
     if decoder == "pil":
         try:

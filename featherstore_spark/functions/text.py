@@ -217,9 +217,23 @@ def repetition_stats(
         # two-token doc scores top_ngram_char_frac 1.0 and short clean
         # docs all fail the flag (Gopher sidesteps this via min-length
         # prefilters; the c>1 guard makes the metric total instead)
+        # max over a STRUCT plans as SortAggregate (struct buffers are
+        # not hash-aggregable) — two sorts of the per-doc gram-count
+        # table.  (c, cl) packs order-preservingly into one
+        # decimal(38,0): cl = c·len(g) is a non-negative long < 2^63, so
+        # ``c · 2^63 + cl`` is monotone lexicographic, and max() over a
+        # decimal is a plain HashAggregate.  c is cast via decimal(10,0)
+        # — safe: c ≤ grams per doc < 2^31.  cl is recovered below as
+        # pack mod 2^63 (only .cl is consumed downstream).
         F.max(
-            F.when(is_top & (F.col("c") > 1), F.struct(F.col("c").alias("c"), gcl.alias("cl")))
-        ).alias("__top"),
+            F.when(
+                is_top & (F.col("c") > 1),
+                F.expr(
+                    "cast(c as decimal(10,0)) * 9223372036854775808BD "
+                    "+ cast(c * length(g) as decimal(19,0))"
+                ),
+            )
+        ).alias("__top_pack"),
         F.sum(F.when(is_top, gcl).otherwise(0)).alias("top_chars"),
         F.sum(F.when(is_dup & (F.col("c") > 1), gcl).otherwise(0)).alias("dup_gram_chars"),
         F.sum(F.when(is_dup, gcl).otherwise(0)).alias("gram_chars"),
@@ -243,7 +257,11 @@ def repetition_stats(
                 F.coalesce("dup_line_chars", F.lit(0)), F.coalesce("line_chars", F.lit(0))
             ).alias("dup_line_char_frac"),
             _frac(
-                F.coalesce(F.col("__top.cl"), F.lit(0)), F.coalesce("top_chars", F.lit(0))
+                F.coalesce(
+                    F.expr("cast(__top_pack % 9223372036854775808BD as bigint)"),
+                    F.lit(0),
+                ),
+                F.coalesce("top_chars", F.lit(0)),
             ).alias("top_ngram_char_frac"),
             _frac(
                 F.coalesce("dup_gram_chars", F.lit(0)), F.coalesce("gram_chars", F.lit(0))

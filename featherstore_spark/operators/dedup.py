@@ -1549,13 +1549,37 @@ def drop_duplicate_spans(
     # one cheap codegen pass it saves — sf0.1 warm 1.05 s recomputed vs
     # 1.4-1.7 s checkpointed, and at corpus scale the gap widens (the gh
     # shuffles dominate either way; the md5 pass is scan-cheap)
-    stats = grams.groupBy("gh").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.min(F.struct(F.col("id"), F.col("pos"))).alias("canon"),
-    )
+    # The canonical occurrence is the lexicographic min (id, pos) per
+    # gram — but any min/max/min_by over a STRUCT plans as SortAggregate
+    # (struct buffers are not hash-aggregable): TWO full sorts of the
+    # one-row-per-character gram lattice, the plan's dominant cost.  For
+    # integral ids, (id, pos) packs order-preservingly into ONE
+    # decimal(38,0) — pos ∈ [1, 2^31) is bounded by the string length,
+    # so ``id · 2^32 + pos`` is monotone in (id, pos) even for negative
+    # ids, exact in 32 decimal digits, and min() over a decimal is a
+    # plain HashAggregate.  Packing is injective, so "not the canonical
+    # occurrence" is one decimal inequality.  Non-integral id types keep
+    # the struct-min fallback.
+    id_type = base.schema["id"].dataType.simpleString()
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        pack = F.expr(
+            "cast(id as decimal(20,0)) * 4294967296BD + cast(pos as decimal(10,0))"
+        )
+        stats = grams.groupBy("gh").agg(
+            F.count(F.lit(1)).alias("c"), F.min(pack).alias("canon")
+        )
+        not_canon = pack != F.col("canon")
+    else:
+        stats = grams.groupBy("gh").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("canon"),
+        )
+        not_canon = ~(
+            (F.col("id") == F.col("canon.id")) & (F.col("pos") == F.col("canon.pos"))
+        )
     dup = (
         grams.join(stats.where(F.col("c") > 1), "gh")
-        .where(~((F.col("id") == F.col("canon.id")) & (F.col("pos") == F.col("canon.pos"))))
+        .where(not_canon)
         .select("id", F.col("pos").alias("s"), (F.col("pos") + F.lit(L - 1)).alias("e"))
     )
     from pyspark.sql import Window

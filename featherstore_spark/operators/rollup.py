@@ -66,6 +66,11 @@ def cascade_rollup(
             F.round(F.col("sum_raw") / F.col("n"), 6).alias("avg_v"),
         )
 
+    # NOTE (r6): do NOT rebalance df here — the finest level's
+    # ``sum(value)`` over doubles is summation-order dependent, and a
+    # repartition reorders the partial sums enough to flip a rounded
+    # 4-dp value on a tie (measured: one changed row at sf0.1).  The
+    # single-split scan cost stays on the raw table's owner.
     base = (
         df.groupBy(*keys, F.window(ts_col, levels[0]).alias("w"))
         .agg(
