@@ -334,9 +334,9 @@ def c4_line_clean(
     for term in C4_DOC_BLOCKLIST:
         doc_blocked = doc_blocked | F.contains(F.lower(c), F.lit(term))
     n_kept = F.size(kept).cast("long")
-    # the line-filter HOFs are scan-stage per-row work; rebalance small
-    # single-split inputs (estimate-gated no-op at scale)
-    df = balance_small_input(df)
+    # deliberately NOT rebalanced (r6): the zero-shuffle plan property is
+    # asserted (test_plan_quality) and the per-row HOF filter is cheap —
+    # an exchange would cost more than the single-split scan it spreads
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),

@@ -1089,6 +1089,12 @@ def build_fingerprint_index(
         winnow_fingerprint_rows(df, id_col, text_col, k, w)
         .where(F.col("fp").isNotNull())
         .select(F.col(id_col).alias("id"), "fp")
+        # TWO consumers read the rows (the stats aggregate and the
+        # caller's probe join), and the winnowing pandas UDF sits above
+        # the last exchange — without materialization it would execute
+        # once per consumer (the winnow_near_duplicates discipline).
+        # Production persists this table anyway (write_fingerprint_index).
+        .localCheckpoint(eager=True)
     )
     stats = rows.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     return rows, stats
