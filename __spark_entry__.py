@@ -240,12 +240,11 @@ def q_rolling_window(spark, sf_dir):
 
 
 def q_tumbling_agg(spark, sf_dir):
-    from featherstore_spark.functions.text import balance_small_input
-
-    # window assignment + the partial aggregate (incl. the countDistinct
-    # Expand) are map-side scan-stage work; a single-row-group file would
-    # serialize them through one task (estimate-gated no-op at scale)
-    ev = balance_small_input(_t(spark, sf_dir, "events"))
+    # deliberately NOT rebalanced (r6): the countDistinct Expand doubles
+    # the rows a rebalance exchange would carry — measured 1.57 s without
+    # vs 2.27 s with at sf1.0 (sliding_agg, without the Expand, keeps its
+    # rebalance)
+    ev = _t(spark, sf_dir, "events")
     win = F.window(F.col("ts"), "1 hour")
     return ev.groupBy(F.col("user_id"), win.start.alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -143,8 +143,24 @@ def test_semantic_dedup_blas_matches_exact_brute_force(spark):
         [(i, vecs[i]) for i in range(n)], "vec_id long, embedding array<double>"
     )
     threshold = 0.95
-    out = semantic_dedup(df, k=2, iters=2, threshold=threshold)
-    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    # force the BLAS branch (the sf-small pair estimate would otherwise
+    # take the plain-join branch, which IS the round-start code path)
+    import featherstore_spark.operators.clustering as clustering_mod
+
+    old_fork = clustering_mod._SEMDEDUP_PAIR_JOIN_MAX
+    clustering_mod._SEMDEDUP_PAIR_JOIN_MAX = 0
+    try:
+        out = semantic_dedup(df, k=2, iters=2, threshold=threshold)
+        got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+        # and the join branch must agree exactly with the BLAS branch
+        clustering_mod._SEMDEDUP_PAIR_JOIN_MAX = old_fork
+        join_out = {
+            r["vec_id"]: (r["cluster_id"], r["keep"])
+            for r in semantic_dedup(df, k=2, iters=2, threshold=threshold).collect()
+        }
+        assert join_out == got, "join and BLAS pair phases disagree"
+    finally:
+        clustering_mod._SEMDEDUP_PAIR_JOIN_MAX = old_fork
     clusters: dict[int, list[int]] = {}
     for i in range(n):
         clusters.setdefault(got[i][0], []).append(i)
@@ -172,11 +188,20 @@ def test_semantic_dedup_exact_threshold_boundary(spark):
         [(1, a), (2, b), (3, d1), (4, d1)], "vec_id long, embedding array<double>"
     )
     # k=1: ONE cluster, so every pair is compared and the outcome is a
-    # pure function of the cosines — no dependence on cluster assignment
-    out = {
-        r["vec_id"]: r["keep"]
-        for r in semantic_dedup(df, k=1, iters=1, threshold=0.35).collect()
-    }
+    # pure function of the cosines — no dependence on cluster assignment.
+    # Forced onto the BLAS branch: the boundary pair lands in the border
+    # band and must be re-decided by the exact JVM expression.
+    import featherstore_spark.operators.clustering as clustering_mod
+
+    old_fork = clustering_mod._SEMDEDUP_PAIR_JOIN_MAX
+    clustering_mod._SEMDEDUP_PAIR_JOIN_MAX = 0
+    try:
+        out = {
+            r["vec_id"]: r["keep"]
+            for r in semantic_dedup(df, k=1, iters=1, threshold=0.35).collect()
+        }
+    finally:
+        clustering_mod._SEMDEDUP_PAIR_JOIN_MAX = old_fork
     exact_ab = _round6_half_up(_exact_cos(a, b))
     assert out[1] is True  # lowest id always survives
     assert out[2] == (exact_ab < 0.35), (
