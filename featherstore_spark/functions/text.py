@@ -147,12 +147,10 @@ def repetition_stats(
     (≈``top_n``+``dup_n`` ≈ 5× text bytes); at extreme scale narrow it to
     ``md5_long60(gram)`` + ``length(gram)`` on BOTH engine and oracle —
     the fractions only read counts and lengths."""
+    from pyspark.sql import Window
+
     nid = "__rid"
-    # line/token explodes + gram builds are scan-stage per-row work;
-    # rebalance small single-split inputs (estimate-gated no-op at scale)
-    base = balance_small_input(df).select(
-        F.col(id_col).alias(nid), F.col(text_col).alias("__txt")
-    )
+    base = df.select(F.col(id_col).alias(nid), F.col(text_col).alias("__txt"))
 
     lines = base.select(
         nid,
@@ -172,41 +170,32 @@ def repetition_stats(
         F.sum(F.when(F.col("c") > 1, cl).otherwise(0)).alias("dup_line_chars"),
     )
 
-    # n-grams are built DOC-LOCALLY from the token array via zip_with
-    # over n shifted slices (the shingles construction in operators/
-    # dedup.py): the previous lead()-over-window form shuffled and
-    # sorted one row per TOKEN of the corpus just to look ahead n-1
-    # positions inside each doc — a pure-HOF build emits the identical
-    # gram multiset with ZERO exchange before the gram aggregate.
-    # The explode(array(...)) generator barrier stores the token array
-    # once per row (tokenizer not re-inlined per gram array).
-    toks_arr = base.select(
+    toks = base.select(
+        nid, F.posexplode(F.transform(ws_tokens("__txt"), F.lower)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(nid).orderBy("pos")
+    # windows must be projected BEFORE the explode (generators reject
+    # window expressions); doc-local partitions, no global sort
+    led = toks.select(
         nid,
-        F.explode(F.array(F.transform(ws_tokens("__txt"), F.lower))).alias("__ta"),
+        F.col("tok").alias("__l0"),
+        *[F.lead("tok", i).over(w).alias(f"__l{i}") for i in range(1, max(top_n, dup_n))],
     )
-    ta = F.col("__ta")
+    leads = [F.col(f"__l{i}") for i in range(max(top_n, dup_n))]
 
-    def _gram_arr(n: int) -> Column:
-        # positions 1..len-n+1, exactly the rows the lead() form kept
-        m = F.greatest(F.size(ta) - F.lit(n - 1), F.lit(0))
-        shifted = [F.slice(ta, i + 1, m) for i in range(n)]
-        g = shifted[0]
-        for nxt in shifted[1:]:
-            g = F.zip_with(g, nxt, lambda a, b: F.concat_ws(" ", a, b))
-        return g
+    def _gram(n: int) -> Column:
+        # NULL (→ dropped) until the doc has a full n-gram at this pos
+        return F.when(leads[n - 1].isNotNull(), F.concat_ws(" ", *leads[:n]))
 
-    grams = (
-        toks_arr.select(
-            nid,
-            F.explode(
-                F.array(
-                    F.struct(F.lit("top").alias("which"), _gram_arr(top_n).alias("gs")),
-                    F.struct(F.lit("dup").alias("which"), _gram_arr(dup_n).alias("gs")),
-                )
-            ).alias("__e"),
-        )
-        .select(nid, "__e.which", F.explode("__e.gs").alias("g"))
-    )
+    grams = led.select(
+        nid,
+        F.explode(
+            F.array(
+                F.struct(F.lit("top").alias("which"), _gram(top_n).alias("g")),
+                F.struct(F.lit("dup").alias("which"), _gram(dup_n).alias("g")),
+            )
+        ).alias("__e"),
+    ).select(nid, "__e.which", "__e.g").where(F.col("g").isNotNull())
     gc = grams.groupBy(nid, "which", "g").agg(F.count(F.lit(1)).alias("c"))
     gcl = F.col("c") * F.length("g")
     is_top, is_dup = F.col("which") == "top", F.col("which") == "dup"
@@ -217,23 +206,9 @@ def repetition_stats(
         # two-token doc scores top_ngram_char_frac 1.0 and short clean
         # docs all fail the flag (Gopher sidesteps this via min-length
         # prefilters; the c>1 guard makes the metric total instead)
-        # max over a STRUCT plans as SortAggregate (struct buffers are
-        # not hash-aggregable) — two sorts of the per-doc gram-count
-        # table.  (c, cl) packs order-preservingly into one
-        # decimal(38,0): cl = c·len(g) is a non-negative long < 2^63, so
-        # ``c · 2^63 + cl`` is monotone lexicographic, and max() over a
-        # decimal is a plain HashAggregate.  c is cast via decimal(10,0)
-        # — safe: c ≤ grams per doc < 2^31.  cl is recovered below as
-        # pack mod 2^63 (only .cl is consumed downstream).
         F.max(
-            F.when(
-                is_top & (F.col("c") > 1),
-                F.expr(
-                    "cast(c as decimal(10,0)) * 9223372036854775808BD "
-                    "+ cast(c * length(g) as decimal(19,0))"
-                ),
-            )
-        ).alias("__top_pack"),
+            F.when(is_top & (F.col("c") > 1), F.struct(F.col("c").alias("c"), gcl.alias("cl")))
+        ).alias("__top"),
         F.sum(F.when(is_top, gcl).otherwise(0)).alias("top_chars"),
         F.sum(F.when(is_dup & (F.col("c") > 1), gcl).otherwise(0)).alias("dup_gram_chars"),
         F.sum(F.when(is_dup, gcl).otherwise(0)).alias("gram_chars"),
@@ -257,11 +232,7 @@ def repetition_stats(
                 F.coalesce("dup_line_chars", F.lit(0)), F.coalesce("line_chars", F.lit(0))
             ).alias("dup_line_char_frac"),
             _frac(
-                F.coalesce(
-                    F.expr("cast(__top_pack % 9223372036854775808BD as bigint)"),
-                    F.lit(0),
-                ),
-                F.coalesce("top_chars", F.lit(0)),
+                F.coalesce(F.col("__top.cl"), F.lit(0)), F.coalesce("top_chars", F.lit(0))
             ).alias("top_ngram_char_frac"),
             _frac(
                 F.coalesce("dup_gram_chars", F.lit(0)), F.coalesce("gram_chars", F.lit(0))

@@ -1571,10 +1571,29 @@ def drop_duplicate_spans(
         pack = F.expr(
             "cast(id as decimal(20,0)) * 4294967296BD + cast(pos as decimal(10,0))"
         )
-        stats = grams.groupBy("gh").agg(
-            F.count(F.lit(1)).alias("c"), F.min(pack).alias("canon")
+        # unpack on the SMALL aggregated side: re-deriving the decimal
+        # pack per probe-side gram row (50M slow Decimal constructions at
+        # sf1.0) measured ~+4 s vs two plain int equality compares.
+        # pmod keeps pos non-negative, so the id recovery is exact for
+        # negative ids too.
+        stats = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("c"), F.min(pack).alias("__canon_pack"))
+            .select(
+                "gh",
+                "c",
+                F.expr(
+                    "cast((__canon_pack - pmod(__canon_pack, 4294967296BD)) "
+                    "/ 4294967296BD as bigint)"
+                ).alias("__canon_id"),
+                F.expr("cast(pmod(__canon_pack, 4294967296BD) as int)").alias(
+                    "__canon_pos"
+                ),
+            )
         )
-        not_canon = pack != F.col("canon")
+        not_canon = ~(
+            (F.col("id") == F.col("__canon_id")) & (F.col("pos") == F.col("__canon_pos"))
+        )
     else:
         stats = grams.groupBy("gh").agg(
             F.count(F.lit(1)).alias("c"),
